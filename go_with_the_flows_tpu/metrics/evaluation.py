@@ -1,0 +1,324 @@
+"""Point-cloud evaluation metric suite: CD / EMD / F1 / JSD / MMD / COV /
+1-NNA.
+
+Re-implementation of the reference `lib/metrics/evaluation_metrics.py`
+with the CUDA kernels replaced by the TPU ops in `..ops.chamfer` /
+`..ops.emd`. Protocols (reductions, scales, thresholds) match the reference
+exactly — see BASELINE.md for the measurement protocol table.
+
+All cloud arguments are (S, N, 3) arrays (numpy or jax). The pairwise
+drivers chunk work to bound device memory and reuse one jitted program per
+chunk shape.
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.chamfer import chamfer
+from ..ops.emd import emd_approx
+
+
+@functools.partial(jax.jit, static_argnames=("f1_threshold",))
+def _paired_stats(sample, ref, f1_threshold: float):
+    """Per-pair CD parts, EMD and F1 for equal-length batches.
+    F1 per reference evaluation_metrics.py:77-81: precision/recall are the
+    fraction of points under the squared-distance threshold, x100."""
+    dl, dr = chamfer(sample, ref)
+    cdl = jnp.mean(dl, axis=1)
+    cdr = jnp.mean(dr, axis=1)
+    emd = emd_approx(sample, ref)
+    precision = 100.0 * jnp.mean((dr < f1_threshold).astype(jnp.float32), 1)
+    recall = 100.0 * jnp.mean((dl < f1_threshold).astype(jnp.float32), 1)
+    f1 = 2.0 * precision * recall / (precision + recall + 1e-7)
+    return cdl, cdr, emd, f1
+
+
+def EMD_CD_F1(
+    sample_pcs,
+    ref_pcs,
+    batch_size: int,
+    reduced: bool = True,
+    cd_option: bool = False,
+    emd_option: bool = False,
+    one_part_of_cd: bool = False,
+    f1_option: bool = False,
+    f1_threshold: float = 1e-4,
+) -> Dict[str, np.ndarray]:
+    """Paired (i-th sample vs i-th ref) metrics
+    (reference evaluation_metrics.py:46-100)."""
+    n = sample_pcs.shape[0]
+    assert n == ref_pcs.shape[0], f"REF:{ref_pcs.shape[0]} SMP:{n}"
+
+    cdl_all, cdr_all, emd_all, f1_all = [], [], [], []
+    for s in range(0, n, batch_size):
+        e = min(n, s + batch_size)
+        cdl, cdr, emd, f1 = _paired_stats(
+            jnp.asarray(sample_pcs[s:e]), jnp.asarray(ref_pcs[s:e]),
+            f1_threshold,
+        )
+        cdl_all.append(np.asarray(cdl))
+        cdr_all.append(np.asarray(cdr))
+        if emd_option:
+            emd_all.append(np.asarray(emd))
+        f1_all.append(np.asarray(f1))
+
+    cdl = np.concatenate(cdl_all)
+    cdr = np.concatenate(cdr_all)
+    f1 = np.concatenate(f1_all)
+    emd = np.concatenate(emd_all) if emd_option else np.zeros(0)
+
+    def red(x):
+        return x.mean() if reduced else x
+
+    return {
+        "CD": red(cdl + cdr) if cd_option else 0,
+        "EMD": red(emd) if emd_option else 0,
+        "F1": red(f1) if f1_option else 0,
+        "CDL": red(cdl) if one_part_of_cd else 0,
+        "CDR": red(cdr) if one_part_of_cd else 0,
+    }
+
+
+def pairwise_EMD_CD_F1(
+    sample_pcs,
+    ref_pcs,
+    batch_size: int,
+    f1_threshold: float = 1e-3,
+    cd_option: bool = False,
+    one_part_of_cd: bool = False,
+    emd_option: bool = False,
+    f1_option: bool = False,
+    verbose: bool = False,
+):
+    """Full (N_sample, N_ref) metric matrices: one sample against batched
+    refs (reference evaluation_metrics.py:103-176,
+    _pairwise_EMD_CD_F1_SCORE)."""
+    n_sample = sample_pcs.shape[0]
+    n_ref = ref_pcs.shape[0]
+    cd_m = np.zeros((n_sample, n_ref), np.float32)
+    cdl_m = np.zeros((n_sample, n_ref), np.float32)
+    cdr_m = np.zeros((n_sample, n_ref), np.float32)
+    emd_m = np.zeros((n_sample, n_ref), np.float32)
+    f1_m = np.zeros((n_sample, n_ref), np.float32)
+
+    ref_dev = jnp.asarray(ref_pcs)
+    for i in range(n_sample):
+        one = jnp.asarray(sample_pcs[i])
+        for s in range(0, n_ref, batch_size):
+            e = min(n_ref, s + batch_size)
+            chunk = ref_dev[s:e]
+            tiled = jnp.broadcast_to(one[None], (e - s,) + one.shape)
+            cdl, cdr, emd, f1 = _paired_stats(tiled, chunk, f1_threshold)
+            cdl_m[i, s:e] = np.asarray(cdl)
+            cdr_m[i, s:e] = np.asarray(cdr)
+            if emd_option:
+                emd_m[i, s:e] = np.asarray(emd)
+            f1_m[i, s:e] = np.asarray(f1)
+        if verbose and (i + 1) % 50 == 0:
+            print(f"pairwise: {i + 1}/{n_sample}")
+    cd_m = cdl_m + cdr_m
+    return cd_m, emd_m, f1_m, cdl_m, cdr_m
+
+
+def knn_two_sample(Mxx, Mxy, Myy, k: int = 1) -> Dict[str, float]:
+    """k-NN two-sample classifier accuracies from precomputed distance
+    blocks (reference evaluation_metrics.py:180-209). 1-NNA ideal = 50%."""
+    Mxx, Mxy, Myy = map(np.asarray, (Mxx, Mxy, Myy))
+    n0, n1 = Mxx.shape[0], Myy.shape[0]
+    label = np.concatenate([np.ones(n0), np.zeros(n1)])
+    M = np.block([[Mxx, Mxy], [Mxy.T, Myy]])
+    np.fill_diagonal(M, np.inf)
+    # indices of the k smallest per column (reference topk(k, 0, False))
+    idx = np.argpartition(M, k - 1, axis=0)[:k]
+    count = label[idx].sum(axis=0)
+    pred = (count >= k / 2.0).astype(np.float64)
+
+    tp = float((pred * label).sum())
+    fp = float((pred * (1 - label)).sum())
+    fn = float(((1 - pred) * label).sum())
+    tn = float(((1 - pred) * (1 - label)).sum())
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": tp / (tp + fp + 1e-10),
+        "recall": tp / (tp + fn + 1e-10),
+        "acc_t": tp / (tp + fn + 1e-10),
+        "acc_f": tn / (tn + fp + 1e-10),
+        "acc": float((pred == label).mean()),
+    }
+
+
+def lgan_mmd_cov(all_dist, mode: str = "min") -> Dict[str, np.ndarray]:
+    """MMD + coverage from a (N_sample, N_ref) distance matrix
+    (reference evaluation_metrics.py:211-229)."""
+    all_dist = np.asarray(all_dist)
+    n_ref = all_dist.shape[1]
+    if mode == "min":
+        val_fromsmp = all_dist.min(axis=1)
+        idx = all_dist.argmin(axis=1)
+        val = all_dist.min(axis=0)
+        idx_mmd = all_dist.argmin(axis=0)
+    else:
+        val_fromsmp = all_dist.max(axis=1)
+        idx = all_dist.argmax(axis=1)
+        val = all_dist.max(axis=0)
+        idx_mmd = all_dist.argmax(axis=0)
+    return {
+        "lgan_mmd": val.mean(),
+        "lgan_cov": float(len(np.unique(idx))) / float(n_ref),
+        "lgan_mmd_smp": val_fromsmp.mean(),
+        "idx_mmd": idx_mmd,
+        "mmd_contrib": val,
+    }
+
+
+def compute_all_metrics(
+    sample_pcs,
+    ref_pcs,
+    batch_size: int,
+    f1_threshold: float = 1e-3,
+    cd_option: bool = False,
+    one_part_of_cd: bool = False,
+    emd_option: bool = False,
+    f1_option: bool = False,
+    verbose: bool = False,
+) -> Dict[str, float]:
+    """MMD/COV (sample-vs-ref) + 1-NNA (ss, rs, rr) over CD / EMD / F1
+    (reference evaluation_metrics.py:232-309)."""
+    results: Dict[str, float] = {}
+    opts = dict(
+        f1_threshold=f1_threshold, cd_option=cd_option,
+        one_part_of_cd=one_part_of_cd, emd_option=emd_option,
+        f1_option=f1_option, verbose=verbose,
+    )
+    rs_cd, rs_emd, rs_f1, rs_cdl, rs_cdr = pairwise_EMD_CD_F1(
+        sample_pcs, ref_pcs, batch_size, **opts
+    )
+
+    def upd(prefix, res):
+        results.update({f"{k}-{prefix}": v for k, v in res.items()})
+
+    if cd_option:
+        upd("CD", lgan_mmd_cov(rs_cd))
+    if emd_option:
+        upd("EMD", lgan_mmd_cov(rs_emd))
+    if f1_option:
+        upd("F1", lgan_mmd_cov(rs_f1, "max"))
+    if one_part_of_cd:
+        upd("CD-left", lgan_mmd_cov(rs_cdl))
+        upd("CD-right", lgan_mmd_cov(rs_cdr))
+
+    rr = pairwise_EMD_CD_F1(ref_pcs, ref_pcs, batch_size, **opts)
+    ss = pairwise_EMD_CD_F1(sample_pcs, sample_pcs, batch_size, **opts)
+
+    def upd_nn(prefix, Mss, Mrs, Mrr):
+        res = knn_two_sample(Mss, Mrs, Mrr, k=1)
+        results.update({
+            f"1-NN-{prefix}-{k}": v for k, v in res.items() if "acc" in k
+        })
+
+    if cd_option:
+        upd_nn("CD", ss[0], rs_cd, rr[0])
+    if emd_option:
+        upd_nn("EMD", ss[1], rs_emd, rr[1])
+    if f1_option:
+        upd_nn("F1", ss[2], rs_f1, rr[2])
+    if one_part_of_cd:
+        upd_nn("CD-left", ss[3], rs_cdl, rr[3])
+        upd_nn("CD-right", ss[4], rs_cdr, rr[4])
+    return results
+
+
+# --------------------------------------------------------------------- #
+# JSD over occupancy grids (host-side numpy; reference                  #
+# evaluation_metrics.py:315-430, from latent_3d_points)                 #
+# --------------------------------------------------------------------- #
+
+def unit_cube_grid_point_cloud(resolution: int, clip_sphere: bool = False):
+    """Cell-center coordinates of a resolution^3 grid in the unit cube
+    (reference evaluation_metrics.py:315-333)."""
+    spacing = 1.0 / float(resolution - 1)
+    ax = np.arange(resolution, dtype=np.float32) * spacing - 0.5
+    grid = np.stack(
+        np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1
+    ).astype(np.float32)
+    if clip_sphere:
+        grid = grid.reshape(-1, 3)
+        grid = grid[np.linalg.norm(grid, axis=1) <= 0.5]
+    return grid, spacing
+
+
+def entropy_of_occupancy_grid(
+    pclouds, grid_resolution: int, in_sphere: bool = False
+):
+    """Mean per-cell Bernoulli entropy + total occupancy counters
+    (reference evaluation_metrics.py:350-390)."""
+    from sklearn.neighbors import NearestNeighbors
+    from scipy.stats import entropy
+
+    pclouds = np.asarray(pclouds)
+    bound = 0.5 + 1e-3
+    if abs(pclouds.max()) > bound or abs(pclouds.min()) > bound:
+        warnings.warn("Point-clouds are not in unit cube.")
+    if in_sphere and np.sqrt((pclouds ** 2).sum(2)).max() > bound:
+        warnings.warn("Point-clouds are not in unit sphere.")
+
+    grid_coordinates, _ = unit_cube_grid_point_cloud(
+        grid_resolution, in_sphere
+    )
+    grid_coordinates = grid_coordinates.reshape(-1, 3)
+    n_cells = len(grid_coordinates)
+    grid_counters = np.zeros(n_cells)
+    grid_bernoulli_rvars = np.zeros(n_cells)
+    nn = NearestNeighbors(n_neighbors=1).fit(grid_coordinates)
+
+    for pc in pclouds:
+        _, indices = nn.kneighbors(pc)
+        indices = np.squeeze(indices)
+        np.add.at(grid_counters, indices, 1)
+        unique = np.unique(indices)
+        grid_bernoulli_rvars[unique] += 1
+
+    acc_entropy = 0.0
+    n = float(len(pclouds))
+    for g in grid_bernoulli_rvars:
+        if g > 0:
+            p = float(g) / n
+            acc_entropy += entropy([p, 1.0 - p])
+    return acc_entropy / n_cells, grid_counters
+
+
+def jensen_shannon_divergence(P, Q) -> float:
+    """Base-2 JSD between two (unnormalized) histograms
+    (reference evaluation_metrics.py:393-430)."""
+    from scipy.stats import entropy
+
+    P, Q = np.asarray(P, np.float64), np.asarray(Q, np.float64)
+    if np.any(P < 0) or np.any(Q < 0):
+        raise ValueError("Negative values.")
+    if len(P) != len(Q):
+        raise ValueError("Non equal size.")
+    P_ = P / P.sum()
+    Q_ = Q / Q.sum()
+    e1 = entropy(P_, base=2)
+    e2 = entropy(Q_, base=2)
+    e_sum = entropy((P_ + Q_) / 2.0, base=2)
+    return float(e_sum - (e1 + e2) / 2.0)
+
+
+def jsd_between_point_cloud_sets(
+    sample_pcs, ref_pcs, resolution: int = 28
+) -> float:
+    """JSD between two sets of clouds via 28^3 occupancy grids
+    (reference evaluation_metrics.py:336-347)."""
+    sample_var = entropy_of_occupancy_grid(
+        sample_pcs, resolution, in_sphere=True
+    )[1]
+    ref_var = entropy_of_occupancy_grid(ref_pcs, resolution, in_sphere=True)[1]
+    return jensen_shannon_divergence(sample_var, ref_var)

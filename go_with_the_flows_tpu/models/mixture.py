@@ -1,0 +1,467 @@
+"""Mixture-of-flows point cloud VAE — the flagship model family.
+
+TPU-first re-design of the reference's `lib/networks/models.py`
+(Local_Cond_RNVP_MC_Global_RNVP_VAE) + `lib/networks/flow_mixture.py`
+(Flow_Mixture_Model / Flow_Mixture_SVR_Model):
+
+  * The K mixture components are ONE `nn.vmap`-lifted decoder over stacked
+    parameters — a single fused XLA computation instead of the reference's
+    Python loop over K modules (flow_mixture.py:162-166).
+  * Sampling replaces the reference's host-side `np.random.choice` component
+    assignment + ragged per-component decode (flow_mixture.py:149-177) with a
+    jit-friendly static formulation: per-point component ids via
+    `jax.random.categorical`, all K components decode all N points, and the
+    output cloud is gathered by id. K<=4, so this costs <=4x decode compute
+    on the sampling path and removes every device->host sync; it also lifts
+    the reference's batch-size-1 eval restriction (flow_mixture.py:146).
+  * Losses consume accumulated log-variance sums, not per-layer lists.
+
+Modes (reference `util_mode`): 'training', 'autoencoding', 'generating',
+'reconstruction' (SVR).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .flows import LatentPriorFlow, PointDecoderFlow, point_decoder_param_count
+from .encoders import PointNetCloudEncoder, FeatureEncoder, WeightsEncoder
+from .resnet import ResNet18
+
+
+def reduce_decoder_params(
+    n_components: int,
+    params_reduce_mode: str,
+    p_decoder_n_flows: int,
+    p_decoder_n_features: int,
+    g_latent_space_size: int,
+) -> Tuple[int, int]:
+    """Per-component decoder depth/width so that K small decoders fit the
+    parameter budget of one full-size decoder.
+
+    Exact port of the arithmetic in reference flow_mixture.py:44-102
+    (`_get_decoder_params` / `_get_p_decoder_n_features`): modes `none`,
+    `depth_first` (depth = ceil(F/K)), `depth_and_feature`
+    (depth = ceil(F/sqrt(K))), `feature_first`; feature width is shrunk
+    until K * params(small) <= params(big), floor 4 features.
+    """
+    n = n_components
+    count = point_decoder_param_count
+    big = count(p_decoder_n_flows, p_decoder_n_features, g_latent_space_size)
+
+    def shrink_features(depth):
+        f = p_decoder_n_features
+        total = big * n
+        while total > big and f > 4:
+            f -= 1
+            total = count(depth, f, g_latent_space_size) * n
+        return f, (total > big, big, total)
+
+    if n == 1 or params_reduce_mode == "none":
+        return p_decoder_n_flows, p_decoder_n_features
+    if params_reduce_mode == "depth_and_feature":
+        depth = math.ceil(p_decoder_n_flows / math.sqrt(n))
+        feats, _ = shrink_features(depth)
+    elif params_reduce_mode == "depth_first":
+        depth = math.ceil(p_decoder_n_flows / n)
+        feats, _ = shrink_features(depth)
+    elif params_reduce_mode == "feature_first":
+        depth = p_decoder_n_flows
+        feats, (over, big_, total) = shrink_features(depth)
+        if over:
+            while total > big_:
+                depth -= 1
+                total = count(depth, feats, g_latent_space_size) * n
+    else:
+        raise ValueError(f"Unknown params_reduce_mode: {params_reduce_mode}")
+    return depth, feats
+
+
+def _reparameterize(rng, mu, logvar):
+    """Gaussian reparameterization (reference models.py:99-109)."""
+    std = jnp.exp(0.5 * logvar)
+    return mu + std * jax.random.normal(rng, mu.shape, mu.dtype)
+
+
+class FlowMixtureModel(nn.Module):
+    """Mixture of K conditional RealNVP decoder flows under a flow-prior VAE.
+
+    Config fields mirror the reference YAML keys (configs/*.yaml).
+    """
+
+    n_components: int
+    params_reduce_mode: str = "depth_and_feature"
+    weights_type: str = "learned_weights"
+
+    g_latent_space_size: int = 128
+    g_prior_n_flows: int = 7
+    g_prior_n_features: int = 128
+    g_posterior_n_layers: int = 1
+
+    p_latent_space_size: int = 3
+    p_prior_n_layers: int = 1
+    p_decoder_n_flows: int = 21
+    p_decoder_n_features: int = 64
+    p_decoder_base_type: str = "free"  # free | freevar | fixed
+    p_decoder_base_var: float = -3.9551
+
+    pc_enc_init_n_features: int = 64
+    pc_enc_n_features: Sequence[int] = (128, 256, 512)
+
+    def setup(self):
+        G = self.g_latent_space_size
+        self.pc_encoder = PointNetCloudEncoder(
+            self.pc_enc_init_n_features, tuple(self.pc_enc_n_features)
+        )
+
+        # Learned base prior over g (reference models.py:66-70).
+        self.g0_prior_mus = self.param(
+            "g0_prior_mus", nn.initializers.normal(0.033), (1, G)
+        )
+        self.g0_prior_logvars = self.param(
+            "g0_prior_logvars", nn.initializers.normal(0.33), (1, G)
+        )
+
+        self.g_prior = LatentPriorFlow(
+            n_flows=self.g_prior_n_flows,
+            n_features=self.g_prior_n_features,
+            g_features=G,
+            weight_std=0.01,
+        )
+        self.g_posterior = FeatureEncoder(
+            n_layers=self.g_posterior_n_layers,
+            latent_space_size=G,
+            deterministic=False,
+            mu_weight_std=0.0033,
+            mu_bias=0.0,
+            logvar_weight_std=0.033,
+            logvar_bias=0.0,
+        )
+
+        # Point base prior, shared across mixture components
+        # (reference models.py:80-92; the mixture reuses the single p_prior).
+        if self.p_decoder_base_type == "free":
+            self.p_prior = FeatureEncoder(
+                n_layers=self.p_prior_n_layers,
+                latent_space_size=self.p_latent_space_size,
+                deterministic=False,
+                mu_weight_std=0.001,
+                mu_bias=0.0,
+                logvar_weight_std=0.01,
+                logvar_bias=0.0,
+            )
+        elif self.p_decoder_base_type == "freevar":
+            self.p_prior = FeatureEncoder(
+                n_layers=self.p_prior_n_layers,
+                latent_space_size=self.p_latent_space_size,
+                deterministic=True,
+                mu_weight_std=0.01,
+                mu_bias=0.0,
+            )
+        elif self.p_decoder_base_type != "fixed":
+            raise ValueError(
+                f"Unknown p_decoder_base_type: {self.p_decoder_base_type}"
+            )
+
+        depth, feats = reduce_decoder_params(
+            self.n_components,
+            self.params_reduce_mode,
+            self.p_decoder_n_flows,
+            self.p_decoder_n_features,
+            self.g_latent_space_size,
+        )
+        self.pc_decoder_depth = depth
+        self.pc_decoder_features = feats
+        # K components as one vmapped decoder over a stacked param pytree.
+        VmappedDecoder = nn.vmap(
+            PointDecoderFlow,
+            in_axes=(0, None, None, None),
+            out_axes=0,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            axis_size=self.n_components,
+        )
+        self.pc_decoder = VmappedDecoder(
+            n_flows=depth,
+            f_features=feats,
+            g_features=G,
+            weight_std=0.01,
+            name="pc_decoder",
+        )
+
+        # Global mixture logits (reference flow_mixture.py:32).
+        self.mixture_weights_logits = self.param(
+            "mixture_weights_logits",
+            nn.initializers.zeros_init(),
+            (self.n_components,),
+        )
+        self.mixture_weights_encoder = WeightsEncoder(
+            n_layers=3,
+            n_components=self.n_components,
+            mu_weight_std=0.001,
+            mu_bias=0.0,
+        )
+
+    # ------------------------------------------------------------------ #
+    # encode                                                             #
+    # ------------------------------------------------------------------ #
+
+    def _posterior(self, g_input, train):
+        """PointNet -> max-pool over points -> posterior heads
+        (reference models.py:127-131)."""
+        feats = self.pc_encoder(g_input, train=train)
+        pooled = jnp.max(feats, axis=2)
+        return self.g_posterior(pooled, train=train)
+
+    def encode(self, g_input, mode: str, train: bool | None = None):
+        """Prior-flow encoding (reference models.py:111-151).
+
+        training/autoencoding: posterior sample (resp. mean) is inverted
+        through the prior flow; generating: the learned base prior is
+        sampled and pushed forward.
+        `train` controls BatchNorm batch-vs-running statistics; it defaults
+        to (mode == 'training') but can be forced off for the validation
+        loss, which runs the training path under model.eval() in the
+        reference (training.py:110-118).
+        """
+        if train is None:
+            train = mode == "training"
+        B = g_input.shape[0]
+        mu0 = jnp.broadcast_to(self.g0_prior_mus, (B, self.g_latent_space_size))
+        lv0 = jnp.broadcast_to(
+            self.g0_prior_logvars, (B, self.g_latent_space_size)
+        )
+        out = {"g_prior_mus0": mu0, "g_prior_logvars0": lv0}
+
+        if mode in ("training", "autoencoding"):
+            post_mus, post_logvars = self._posterior(g_input, train)
+            out["g_posterior_mus"] = post_mus
+            out["g_posterior_logvars"] = post_logvars
+            if mode == "training":
+                g_s = _reparameterize(
+                    self.make_rng("sample"), post_mus, post_logvars
+                )
+            else:
+                g_s = post_mus
+            g0, flow_lv_sum = self.g_prior(g_s, "inverse", train)
+            out["g0_sample"] = g0
+            out["g_sample"] = g_s
+        elif mode == "generating":
+            g0 = _reparameterize(self.make_rng("sample"), mu0, lv0)
+            g_s, flow_lv_sum = self.g_prior(g0, "direct", train)
+            out["g0_sample"] = g0
+            out["g_sample"] = g_s
+        else:
+            raise ValueError(f"encode: unsupported mode {mode}")
+
+        out["g_prior_logvar_sum"] = lv0 + flow_lv_sum
+        return out
+
+    # ------------------------------------------------------------------ #
+    # decode                                                             #
+    # ------------------------------------------------------------------ #
+
+    def _point_base(self, g_sample, train):
+        """Base distribution of the point flow, shared across components
+        (reference models.py:169-193). Returns (mus, logvars) of shape
+        (B, 3, 1), broadcastable over points."""
+        B = g_sample.shape[0]
+        C = self.p_latent_space_size
+        if self.p_decoder_base_type == "free":
+            mus, logvars = self.p_prior(g_sample, train=train)
+            return mus[:, :, None], logvars[:, :, None]
+        if self.p_decoder_base_type == "freevar":
+            logvars = self.p_prior(g_sample, train=train)
+            return jnp.zeros((B, C, 1), g_sample.dtype), logvars[:, :, None]
+        # fixed
+        mus = jnp.zeros((B, C, 1), g_sample.dtype)
+        logvars = jnp.full((B, C, 1), self.p_decoder_base_var, g_sample.dtype)
+        return mus, logvars
+
+    def get_weights(self, g_sample, warmup: bool, train: bool):
+        """Mixture log-weights (reference flow_mixture.py:104-120): global
+        logits during warmup / global_weights, else the weights encoder."""
+        B = g_sample.shape[0]
+        if warmup or self.weights_type == "global_weights":
+            return jnp.broadcast_to(
+                self.mixture_weights_logits[None, :], (B, self.n_components)
+            )
+        if self.weights_type == "learned_weights":
+            return self.mixture_weights_encoder(g_sample, train=train)
+        raise ValueError(f"Unknown weights_type: {self.weights_type}")
+
+    def decode_training(self, p_input, g_sample, warmup: bool,
+                        train: bool = True):
+        """Inverse-decode p_input through ALL K components at once.
+        Reference flow_mixture.py:142-143 + models.py:195-198, vectorized.
+        """
+        K = self.n_components
+        p_stack = jnp.broadcast_to(p_input[None], (K,) + p_input.shape)
+        p0, lv_sums = self.pc_decoder(p_stack, g_sample, "inverse", train)
+        base_mus, base_logvars = self._point_base(g_sample, train)
+        logits = self.get_weights(g_sample, warmup, train)
+        return {
+            "p0_samples": p0,  # (K, B, 3, N)
+            "p_logvar_sums": lv_sums,  # (K, B, 3, N)
+            "p_base_mus": base_mus,  # (B, 3, 1)
+            "p_base_logvars": base_logvars,  # (B, 3, 1)
+            "mixture_weights_logits": logits,  # (B, K)
+        }
+
+    def decode_sampling(
+        self, g_sample, n_sampled_points: int, warmup: bool = False
+    ):
+        """Sample a labeled cloud from the mixture.
+
+        Static-shape reformulation of reference flow_mixture.py:144-177:
+        categorical per-point component ids; all K components decode all N
+        points from their own base samples; gather by id. Labels are t+1
+        (flow_mixture.py:176).
+        """
+        K = self.n_components
+        B = g_sample.shape[0]
+        N = n_sampled_points
+        C = self.p_latent_space_size
+        logits = self.get_weights(g_sample, warmup, False)
+
+        ids = jax.random.categorical(
+            self.make_rng("sample"), logits[:, None, :], axis=-1, shape=(B, N)
+        )  # (B, N)
+
+        base_mus, base_logvars = self._point_base(g_sample, False)
+        std = jnp.exp(0.5 * base_logvars)  # (B, 3, 1)
+        eps = jax.random.normal(
+            self.make_rng("sample"), (K, B, C, N), g_sample.dtype
+        )
+        base = base_mus[None] + std[None] * eps  # (K, B, 3, N)
+
+        decoded, _ = self.pc_decoder(base, g_sample, "direct", False)
+        # gather: out[b, :, n] = decoded[ids[b, n], b, :, n]
+        samples = jnp.take_along_axis(
+            decoded, ids[None, :, None, :], axis=0
+        )[0]
+        labels = ids + 1
+        return samples, labels, logits
+
+    # ------------------------------------------------------------------ #
+    # forward                                                            #
+    # ------------------------------------------------------------------ #
+
+    def __call__(
+        self,
+        g_input,
+        p_input=None,
+        images=None,
+        n_sampled_points: Optional[int] = None,
+        warmup: bool = False,
+        mode: str = "training",
+        train: bool | None = None,
+    ):
+        """Dispatch mirroring reference models.py:224-258.
+
+        training       -> dict of encoder+decoder outputs for the loss
+        autoencoding / generating / reconstruction
+                       -> (encoder_out, samples, labels, logits)
+        `train=False` with mode='training' reproduces the reference's
+        validation loss (training path under model.eval()).
+        """
+        if train is None:
+            train = mode == "training"
+        out_enc = self.encode(g_input, mode, train=train)
+        g_s = out_enc["g_sample"]
+        if mode == "training":
+            out_dec = self.decode_training(p_input, g_s, warmup, train)
+            return {**out_enc, **out_dec}
+        if n_sampled_points is None:
+            n_sampled_points = p_input.shape[2] if p_input is not None else 2048
+        samples, labels, logits = self.decode_sampling(
+            g_s, n_sampled_points, warmup
+        )
+        return out_enc, samples, labels, logits
+
+
+class FlowMixtureSVRModel(FlowMixtureModel):
+    """Single-view-reconstruction variant: the latent prior's base comes
+    from a ResNet-18 image encoder (reference flow_mixture.py:181-230).
+
+    Extra config: g_prior_n_layers (head MLP depth, reference :191-195).
+    """
+
+    g_prior_n_layers: int = 1
+
+    def setup(self):
+        super().setup()
+        G = self.g_latent_space_size
+        self.img_encoder = ResNet18(num_classes=G)
+        self.g0_prior = FeatureEncoder(
+            n_layers=self.g_prior_n_layers,
+            latent_space_size=G,
+            deterministic=False,
+            mu_weight_std=0.0033,
+            mu_bias=0.0,
+            logvar_weight_std=0.033,
+            logvar_bias=0.0,
+        )
+
+    def encode(self, g_input, mode: str, train: bool | None = None,
+               images=None):
+        """Reference flow_mixture.py:198-230: image features give the prior
+        base; training additionally inverts the point-cloud posterior
+        through the prior flow; reconstruction starts from the image-prior
+        mean and runs the flow forward."""
+        if images is None:
+            raise ValueError("SVR encode requires images")
+        if train is None:
+            train = mode == "training"
+        img_features = self.img_encoder(images, train=train)
+        mu0, lv0 = self.g0_prior(img_features, train=train)
+        out = {"g_prior_mus0": mu0, "g_prior_logvars0": lv0}
+
+        if mode == "training":
+            post_mus, post_logvars = self._posterior(g_input, train)
+            out["g_posterior_mus"] = post_mus
+            out["g_posterior_logvars"] = post_logvars
+            g_s = _reparameterize(
+                self.make_rng("sample"), post_mus, post_logvars
+            )
+            g0, flow_lv_sum = self.g_prior(g_s, "inverse", train)
+            out["g0_sample"] = g0
+            out["g_sample"] = g_s
+        elif mode == "reconstruction":
+            g0 = mu0
+            g_s, flow_lv_sum = self.g_prior(g0, "direct", train)
+            out["g0_sample"] = g0
+            out["g_sample"] = g_s
+        else:
+            raise ValueError(f"SVR encode: unsupported mode {mode}")
+        out["g_prior_logvar_sum"] = lv0 + flow_lv_sum
+        return out
+
+    def __call__(
+        self,
+        g_input,
+        p_input=None,
+        images=None,
+        n_sampled_points: Optional[int] = None,
+        warmup: bool = False,
+        mode: str = "training",
+        train: bool | None = None,
+    ):
+        if train is None:
+            train = mode == "training"
+        out_enc = self.encode(g_input, mode, train=train, images=images)
+        g_s = out_enc["g_sample"]
+        if mode == "training":
+            out_dec = self.decode_training(p_input, g_s, warmup, train)
+            return {**out_enc, **out_dec}
+        if n_sampled_points is None:
+            n_sampled_points = p_input.shape[2] if p_input is not None else 2500
+        samples, labels, logits = self.decode_sampling(
+            g_s, n_sampled_points, warmup
+        )
+        return out_enc, samples, labels, logits

@@ -1,0 +1,100 @@
+"""Device mesh + sharding: the TPU-native replacement of the reference's
+distributed stack (NCCL process groups + DistributedDataParallel +
+DistributedSampler + SyncBatchNorm, reference train_ae.py:68-79,100-103,
+151-153 — see SURVEY.md §2.3).
+
+Design: ONE SPMD program over a `jax.sharding.Mesh` with a `data` axis.
+
+  * Gradient all-reduce: implicit — the loss is computed on the global
+    (batch-sharded) batch under `jit`, so XLA inserts the reduction over ICI.
+  * SyncBatchNorm: free — BatchNorm reduces over the global batch axis
+    inside the same jitted program, so its statistics are globally exact
+    (stronger than the reference, which syncs via allreduce hooks).
+  * DistributedSampler: replaced by per-process host data sharding +
+    `jax.make_array_from_process_local_data` in the input pipeline.
+  * Multi-host: `jax.distributed.initialize` over DCN; ICI carries the
+    collectives inside each slice.
+
+An optional `points` mesh axis shards the point dimension (the analog of
+sequence parallelism): decoder flow points are i.i.d. so the pointwise
+compute needs no cross-point communication; only the PointNet max-pool and
+BN moments reduce across it, which XLA lowers to small collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (the reference's init_process_group
+    analog, train_ae.py:72-73). No-op in single-process runs."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    points_parallelism: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'points') mesh over the available devices.
+
+    `points_parallelism=1` (default) is pure data parallelism — the only
+    strategy the reference implements (SURVEY.md §2.3).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if n_devices % points_parallelism != 0:
+        raise ValueError(
+            f"{n_devices} devices not divisible by points={points_parallelism}"
+        )
+    grid = devices.reshape(n_devices // points_parallelism, points_parallelism)
+    return Mesh(grid, axis_names=("data", "points"))
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int = 0,
+                   points_axis: Optional[int] = None) -> NamedSharding:
+    """Sharding for a (B, 3, N) cloud batch: batch over 'data', optionally
+    points over 'points'."""
+    ndim = 3
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    if points_axis is not None:
+        spec[points_axis] = "points"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, shard_points: bool = False):
+    """Device-put a host batch dict of (B, ...) arrays with the batch axis
+    sharded over 'data' (and, optionally, the trailing point axis over
+    'points')."""
+
+    def put(x):
+        x = np.asarray(x)
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        if shard_points and x.ndim == 3:
+            spec[2] = "points"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(put, batch)
