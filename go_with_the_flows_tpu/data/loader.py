@@ -1,0 +1,124 @@
+"""Host data loader: batching, shuffling, per-process sharding, optional
+worker processes.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(train_ae.py:100-116): each JAX process iterates its own shard of the
+dataset (DistributedSampler semantics: seeded permutation, padded to a
+multiple of world size, round-robin split), collates numpy batches, and
+hands (B, 3, N) clouds / (B, H, W, C) images to the device step.
+
+Workers: `num_workers > 0` uses a process pool (fork) for the CPU-hot
+surface sampling; HDF5 handles are opened lazily per worker (the
+reference's SWMR-per-worker pattern, datasets.py:75-76).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(i):
+    return _WORKER_DATASET[int(i)]
+
+
+def _collate(samples, image_nhwc=True):
+    batch = {}
+    for key in samples[0]:
+        arr = np.stack([np.asarray(s[key]) for s in samples])
+        if key == "image" and image_nhwc and arr.ndim == 4:
+            arr = np.transpose(arr, (0, 2, 3, 1))  # (B,C,H,W) -> (B,H,W,C)
+        batch[key] = arr
+    return batch
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        num_workers: int = 0,
+        num_replicas: int = 1,
+        rank: int = 0,
+        seed: int = 0,
+        image_nhwc: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.seed = seed
+        self.image_nhwc = image_nhwc
+        self.epoch = 0
+        self._pool = None
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle seed per epoch (DistributedSampler.set_epoch analog)."""
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if self.num_replicas > 1:
+            total = int(
+                math.ceil(n / self.num_replicas) * self.num_replicas
+            )
+            if total > n:  # pad by wrapping (DistributedSampler semantics)
+                idx = np.concatenate([idx, idx[: total - n]])
+            idx = idx[self.rank::self.num_replicas]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return int(math.ceil(n / self.batch_size))
+
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._pool
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        n_batches = len(self)
+        pool = self._get_pool()
+        for b in range(n_batches):
+            chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            if pool is not None:
+                samples = pool.map(_worker_get, chunk)
+            else:
+                samples = [self.dataset[int(i)] for i in chunk]
+            yield _collate(samples, self.image_nhwc)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None

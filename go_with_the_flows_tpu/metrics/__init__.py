@@ -5,4 +5,6 @@ from .evaluation import (
     lgan_mmd_cov,
     compute_all_metrics,
     jsd_between_point_cloud_sets,
+    voxel_jsd,
+    f_score,
 )

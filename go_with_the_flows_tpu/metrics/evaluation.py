@@ -322,3 +322,63 @@ def jsd_between_point_cloud_sets(
     )[1]
     ref_var = entropy_of_occupancy_grid(ref_pcs, resolution, in_sphere=True)[1]
     return jensen_shannon_divergence(sample_var, ref_var)
+
+
+# --------------------------------------------------------------------- #
+# Voxel-histogram JSD — the variant the eval driver actually uses       #
+# (reference lib/networks/utils.py:45-87: a 28^3 voxel OCCUPANCY-COUNT  #
+# distribution, not the per-cell Bernoulli grid above)                  #
+# --------------------------------------------------------------------- #
+
+def voxel_occupancy_dist(
+    all_clouds, res: int = 28, bound: float = 0.5, warn: bool = True,
+    flag: str = "gen",
+) -> np.ndarray:
+    """Normalized voxel point-count histogram over [-bound, bound)^3;
+    points outside the cube are dropped (utils.py:45-81). Clouds are
+    (S, N, 3)."""
+    all_clouds = np.asarray(all_clouds)
+    if warn and np.any(np.fabs(all_clouds) > bound):
+        print(f"{flag} clouds out of cube bounds: [-{bound}; {bound}]")
+    n_nans = int(np.isnan(all_clouds).sum())
+    if n_nans > 0:
+        print(f"{n_nans} NaN values in point cloud tensors.")
+
+    edges = -bound + np.arange(res + 1) * (2 * bound / res)
+    pts = all_clouds.reshape(-1, 3)
+    hist = np.zeros((res, res, res), np.uint64)
+    idx = np.stack(
+        [np.digitize(pts[:, c], edges) - 1 for c in range(3)], axis=1
+    )
+    valid = ((idx >= 0) & (idx < res)).all(axis=1)
+    idx = idx[valid]
+    np.add.at(hist, (idx[:, 0], idx[:, 1], idx[:, 2]), 1)
+    return np.float64(hist) / max(hist.sum(), 1)
+
+
+def voxel_jsd(clouds1, clouds2, warn: bool = True) -> float:
+    """Base-2 JSD between voxel occupancy-count distributions
+    (utils.py:83-87) — the generative-eval JSD."""
+    from scipy.stats import entropy
+
+    d1 = voxel_occupancy_dist(clouds1, warn=warn, flag="gen")
+    d2 = voxel_occupancy_dist(clouds2, warn=warn, flag="ref")
+    return float(
+        entropy(((d1 + d2) / 2.0).flatten(), base=2)
+        - 0.5 * (entropy(d1.flatten(), base=2)
+                 + entropy(d2.flatten(), base=2))
+    )
+
+
+def f_score(predicted, true, threshold: float = 1e-3):
+    """Streaming per-batch F1 (reference utils.py:38-42); clouds (B,N,3)."""
+    import jax.numpy as _jnp
+
+    dl, dr = chamfer(_jnp.asarray(predicted), _jnp.asarray(true))
+    precision = 100.0 * np.asarray(
+        (dr < threshold).astype(np.float32).mean(axis=1)
+    )
+    recall = 100.0 * np.asarray(
+        (dl < threshold).astype(np.float32).mean(axis=1)
+    )
+    return 2.0 * precision * recall / (precision + recall + 1e-7)

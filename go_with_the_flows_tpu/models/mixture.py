@@ -285,15 +285,23 @@ class FlowMixtureModel(nn.Module):
 
     def get_weights(self, g_sample, warmup: bool, train: bool):
         """Mixture log-weights (reference flow_mixture.py:104-120): global
-        logits during warmup / global_weights, else the weights encoder."""
+        logits during warmup / global_weights, else the weights encoder.
+
+        The encoder is always invoked so its parameters exist regardless of
+        weights_type (torch instantiates every module unconditionally,
+        flow_mixture.py:39-42; checkpoints stay interchangeable between
+        weight modes). The unused branch gets zero gradients, which the
+        optimizer skips — the find_unused_parameters analog.
+        """
+        if self.weights_type not in ("global_weights", "learned_weights"):
+            raise ValueError(f"Unknown weights_type: {self.weights_type}")
         B = g_sample.shape[0]
+        learned = self.mixture_weights_encoder(g_sample, train=train)
         if warmup or self.weights_type == "global_weights":
             return jnp.broadcast_to(
                 self.mixture_weights_logits[None, :], (B, self.n_components)
             )
-        if self.weights_type == "learned_weights":
-            return self.mixture_weights_encoder(g_sample, train=train)
-        raise ValueError(f"Unknown weights_type: {self.weights_type}")
+        return learned
 
     def decode_training(self, p_input, g_sample, warmup: bool,
                         train: bool = True):

@@ -84,6 +84,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated over the mesh (needed e.g.
+    after an orbax restore, which commits arrays to a single device)."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
 def shard_batch(mesh: Mesh, batch, shard_points: bool = False):
     """Device-put a host batch dict of (B, ...) arrays with the batch axis
     sharded over 'data' (and, optionally, the trailing point axis over

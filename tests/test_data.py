@@ -1,0 +1,213 @@
+"""Data pipeline tests: surface sampling, transforms, HDF5 datasets,
+loader sharding — on synthetic golden meshes."""
+
+import numpy as np
+import pytest
+
+from go_with_the_flows_tpu.data.cloud_sampling import sample_cloud
+from go_with_the_flows_tpu.data.cloud_transforms import (
+    ComposeCloudTransformation,
+    Random3DRotation,
+)
+from go_with_the_flows_tpu.data.image_transforms import (
+    ComposeImageTransformation,
+)
+from go_with_the_flows_tpu.data.datasets import (
+    ShapeNetCoreDataset,
+    ShapeNetAllDataset,
+)
+from go_with_the_flows_tpu.data.loader import DataLoader
+from go_with_the_flows_tpu.data.synthetic import (
+    write_synthetic_meshes_h5,
+    write_synthetic_images_h5,
+    _unit_cube_mesh,
+)
+
+
+class TestSampleCloud:
+    def test_points_on_surface(self):
+        """Sampled points of a unit cube must lie on the cube surface."""
+        rng = np.random.default_rng(0)
+        v, f = _unit_cube_mesh(rng, jitter=0.0)
+        s = sample_cloud(v, f, size=256, rng=rng)
+        pts = s["cloud"]  # (3, 256)
+        assert pts.shape == (3, 256)
+        # on an axis-aligned cube of half-width 0.5, every point has at
+        # least one |coord| == 0.5
+        assert np.allclose(np.abs(pts).max(axis=0), 0.5, atol=1e-5)
+
+    def test_eval_cloud_split(self):
+        rng = np.random.default_rng(1)
+        v, f = _unit_cube_mesh(rng)
+        s = sample_cloud(v, f, size=64, return_eval_cloud=True, rng=rng)
+        assert s["cloud"].shape == (3, 64)
+        assert s["eval_cloud"].shape == (3, 64)
+        assert not np.allclose(s["cloud"], s["eval_cloud"])
+
+    def test_deterministic_with_seed(self):
+        v, f = _unit_cube_mesh(np.random.default_rng(0))
+        a = sample_cloud(v, f, 32, rng=np.random.default_rng(7))["cloud"]
+        b = sample_cloud(v, f, 32, rng=np.random.default_rng(7))["cloud"]
+        np.testing.assert_array_equal(a, b)
+
+    def test_area_weighting(self):
+        """A degenerate mesh with one huge and one tiny triangle: nearly
+        all samples land on the huge one."""
+        v = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0],
+                      [0, 0, 1], [0.01, 0, 1], [0, 0.01, 1]], np.float32)
+        f = np.array([[0, 1, 2], [3, 4, 5]], np.uint32)
+        s = sample_cloud(v, f, 512, rng=np.random.default_rng(0))
+        frac_on_big = (s["cloud"][2] < 0.5).mean()
+        assert frac_on_big > 0.99
+
+
+class TestTransforms:
+    def test_scale_and_translate(self):
+        t_train, t_val = ComposeCloudTransformation(
+            cloud_scale=True, cloud_scale_scale=2.0,
+            cloud_translate=True,
+            cloud_translate_shift=[0.1, 0.2, 0.3],
+        )
+        cloud = np.ones((3, 4), np.float32)
+        out = t_train({"cloud": cloud.copy(), "eval_cloud": cloud.copy()})
+        expected = (np.ones((3, 4)) - np.array([[0.1], [0.2], [0.3]])) / 2.0
+        np.testing.assert_allclose(out["cloud"], expected, rtol=1e-6)
+        np.testing.assert_allclose(out["eval_cloud"], expected, rtol=1e-6)
+
+    def test_random_rotation_preserves_norms_and_pairs(self):
+        """Fixed reference bug: eval_cloud must be the rotation of the
+        ORIGINAL eval_cloud, not of cloud."""
+        rng = np.random.default_rng(3)
+        cloud = rng.normal(size=(3, 16)).astype(np.float32)
+        eval_cloud = rng.normal(size=(3, 16)).astype(np.float32)
+        t = Random3DRotation(rng=np.random.default_rng(0))
+        out = t({"cloud": cloud.copy(), "eval_cloud": eval_cloud.copy()})
+        np.testing.assert_allclose(
+            np.linalg.norm(out["cloud"], axis=0),
+            np.linalg.norm(cloud, axis=0), rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.linalg.norm(out["eval_cloud"], axis=0),
+            np.linalg.norm(eval_cloud, axis=0), rtol=1e-4,
+        )
+        assert "rotation" in out
+
+    def test_image_pipeline(self):
+        t = ComposeImageTransformation(
+            image_resize=True, image_size=[32, 32],
+            image_add_grayscale=True, image_remove_alpha=True,
+        )
+        img = np.random.default_rng(0).integers(
+            0, 256, size=(4, 17, 17)
+        ).astype(np.uint8)
+        out = t(img)
+        assert out.shape == (4, 32, 32)  # gray + RGB after RemoveAlpha
+        assert out.dtype == np.float32
+        assert out.max() <= 1.0 + 1e-6
+
+
+class TestDatasets:
+    @pytest.fixture(scope="class")
+    def meshes_h5(self, tmp_path_factory):
+        path = tmp_path_factory.mktemp("data") / "meshes.h5"
+        labels = np.array([0, 0, 1, 1, 2, 2, 3, 3], np.uint8)
+        return write_synthetic_meshes_h5(
+            str(path), n_shapes=8, labels=labels
+        )
+
+    @pytest.fixture(scope="class")
+    def images_h5(self, tmp_path_factory):
+        path = tmp_path_factory.mktemp("data") / "images.h5"
+        return write_synthetic_images_h5(str(path), n_shapes=8, hw=33)
+
+    def test_core_dataset(self, meshes_h5):
+        import os
+
+        ds = ShapeNetCoreDataset(
+            os.path.dirname(meshes_h5),
+            part="train",
+            meshes_fname=os.path.basename(meshes_h5),
+            cloud_size=64,
+            return_eval_cloud=True,
+            return_original_scale=True,
+            sample_labels=True,
+        )
+        assert len(ds) == 8
+        s = ds[0]
+        assert s["cloud"].shape == (3, 64)
+        assert s["eval_cloud"].shape == (3, 64)
+        assert s["label"].shape == (55,)
+        assert s["label"].sum() == 1.0
+        assert "orig_s" in s
+        ds.close()
+
+    def test_chosen_label_filter(self, meshes_h5):
+        import os
+
+        ds = ShapeNetCoreDataset(
+            os.path.dirname(meshes_h5), part="train",
+            meshes_fname=os.path.basename(meshes_h5),
+            cloud_size=16, chosen_label=1,
+        )
+        assert len(ds) == 2
+        ds.close()
+
+    def test_all_dataset_24_views(self, meshes_h5, images_h5):
+        import os
+
+        t = ComposeImageTransformation(image_remove_alpha=True)
+        ds = ShapeNetAllDataset(
+            os.path.dirname(meshes_h5), part="train",
+            meshes_fname=os.path.basename(meshes_h5),
+            images_fname=os.path.join(
+                os.path.relpath(os.path.dirname(images_h5),
+                                os.path.dirname(meshes_h5)),
+                os.path.basename(images_h5),
+            ),
+            cloud_size=16, return_eval_cloud=True,
+            image_transform=t,
+        )
+        assert len(ds) == 24 * 8
+        s = ds[25]  # shape 1, view 1
+        assert s["image"].shape == (4, 33, 33)
+        assert s["cloud"].shape == (3, 16)
+        ds.close()
+
+    def test_loader_batching_and_sharding(self, meshes_h5):
+        import os
+
+        ds = ShapeNetCoreDataset(
+            os.path.dirname(meshes_h5), part="train",
+            meshes_fname=os.path.basename(meshes_h5),
+            cloud_size=16, return_eval_cloud=True,
+        )
+        loader = DataLoader(ds, batch_size=4, shuffle=True, seed=1)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["cloud"].shape == (4, 3, 16)
+
+        # two replicas see disjoint shards covering everything
+        seen = []
+        for rank in range(2):
+            l = DataLoader(ds, batch_size=2, shuffle=False,
+                           num_replicas=2, rank=rank)
+            assert len(l) == 2
+            for b in l:
+                seen.append(b["cloud"].shape)
+        assert len(seen) == 4
+        ds.close()
+
+    def test_loader_epoch_reshuffle(self, meshes_h5):
+        import os
+
+        ds = ShapeNetCoreDataset(
+            os.path.dirname(meshes_h5), part="train",
+            meshes_fname=os.path.basename(meshes_h5), cloud_size=8,
+        )
+        loader = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+        loader.set_epoch(0)
+        i0 = loader._indices().copy()
+        loader.set_epoch(1)
+        i1 = loader._indices().copy()
+        assert not np.array_equal(i0, i1)
+        ds.close()
