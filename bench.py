@@ -19,6 +19,13 @@ import time
 
 import numpy as np
 import jax
+
+# The session env sometimes pins JAX_PLATFORMS to a plugin alias ('axon')
+# that the backend registry rejects; fall back to auto-selection.
+try:
+    jax.devices()
+except RuntimeError:
+    jax.config.update("jax_platforms", "")
 import jax.numpy as jnp
 
 from go_with_the_flows_tpu.models.mixture import FlowMixtureModel

@@ -25,10 +25,26 @@ def sample_cloud(
     size: int = 2 ** 10,
     return_eval_cloud: bool = False,
     rng: Optional[np.random.Generator] = None,
+    use_native: Optional[bool] = None,
 ) -> Dict[str, np.ndarray]:
     if rng is None:
         rng = np.random.default_rng()
     n = 2 * size if return_eval_cloud else size
+
+    if use_native is None:
+        use_native = len(faces) > 64  # skip ctypes overhead on tiny meshes
+    if use_native:
+        from . import native
+
+        if native.native_available():
+            seed = int(rng.integers(0, 2 ** 62))
+            pts = native.sample_cloud_native(vertices, faces, n, seed)
+            if return_eval_cloud:
+                return {
+                    "cloud": np.ascontiguousarray(pts[:, ::2]),
+                    "eval_cloud": np.ascontiguousarray(pts[:, 1::2]),
+                }
+            return {"cloud": pts}
 
     tri = vertices[faces]  # (F, 3, 3)
     cross = np.cross(tri[:, 2] - tri[:, 0], tri[:, 2] - tri[:, 1])

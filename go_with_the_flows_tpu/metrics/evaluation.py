@@ -25,15 +25,33 @@ from ..ops.chamfer import chamfer
 from ..ops.emd import emd_approx
 
 
-@functools.partial(jax.jit, static_argnames=("f1_threshold",))
-def _paired_stats(sample, ref, f1_threshold: float):
+def _pallas_eligible(n: int, m: int) -> bool:
+    """Use the fused Pallas kernels on TPU when shapes qualify
+    (equal sizes, tile-aligned M); fall back to XLA otherwise."""
+    return (
+        jax.default_backend() == "tpu" and n == m and m % 512 == 0
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f1_threshold", "use_pallas")
+)
+def _paired_stats(sample, ref, f1_threshold: float,
+                  use_pallas: bool = False):
     """Per-pair CD parts, EMD and F1 for equal-length batches.
     F1 per reference evaluation_metrics.py:77-81: precision/recall are the
     fraction of points under the squared-distance threshold, x100."""
-    dl, dr = chamfer(sample, ref)
+    if use_pallas:
+        from ..ops.pallas.chamfer_kernel import chamfer_pallas
+        from ..ops.pallas.emd_kernel import emd_cost_pallas
+
+        dl, dr = chamfer_pallas(sample, ref)
+        emd = emd_cost_pallas(sample, ref) / sample.shape[1]
+    else:
+        dl, dr = chamfer(sample, ref)
+        emd = emd_approx(sample, ref)
     cdl = jnp.mean(dl, axis=1)
     cdr = jnp.mean(dr, axis=1)
-    emd = emd_approx(sample, ref)
     precision = 100.0 * jnp.mean((dr < f1_threshold).astype(jnp.float32), 1)
     recall = 100.0 * jnp.mean((dl < f1_threshold).astype(jnp.float32), 1)
     f1 = 2.0 * precision * recall / (precision + recall + 1e-7)
@@ -56,12 +74,13 @@ def EMD_CD_F1(
     n = sample_pcs.shape[0]
     assert n == ref_pcs.shape[0], f"REF:{ref_pcs.shape[0]} SMP:{n}"
 
+    use_pallas = _pallas_eligible(sample_pcs.shape[1], ref_pcs.shape[1])
     cdl_all, cdr_all, emd_all, f1_all = [], [], [], []
     for s in range(0, n, batch_size):
         e = min(n, s + batch_size)
         cdl, cdr, emd, f1 = _paired_stats(
             jnp.asarray(sample_pcs[s:e]), jnp.asarray(ref_pcs[s:e]),
-            f1_threshold,
+            f1_threshold, use_pallas,
         )
         cdl_all.append(np.asarray(cdl))
         cdr_all.append(np.asarray(cdr))
@@ -108,6 +127,7 @@ def pairwise_EMD_CD_F1(
     emd_m = np.zeros((n_sample, n_ref), np.float32)
     f1_m = np.zeros((n_sample, n_ref), np.float32)
 
+    use_pallas = _pallas_eligible(sample_pcs.shape[1], ref_pcs.shape[1])
     ref_dev = jnp.asarray(ref_pcs)
     for i in range(n_sample):
         one = jnp.asarray(sample_pcs[i])
@@ -115,7 +135,8 @@ def pairwise_EMD_CD_F1(
             e = min(n_ref, s + batch_size)
             chunk = ref_dev[s:e]
             tiled = jnp.broadcast_to(one[None], (e - s,) + one.shape)
-            cdl, cdr, emd, f1 = _paired_stats(tiled, chunk, f1_threshold)
+            cdl, cdr, emd, f1 = _paired_stats(tiled, chunk, f1_threshold,
+                                              use_pallas)
             cdl_m[i, s:e] = np.asarray(cdl)
             cdr_m[i, s:e] = np.asarray(cdr)
             if emd_option:
