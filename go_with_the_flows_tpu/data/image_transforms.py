@@ -94,7 +94,15 @@ class RemoveAlpha:
 
 def ComposeImageTransformation(**kwargs):
     """Build the image pipeline from config flags
-    (image_transformations.py:76-95)."""
+    (image_transformations.py:76-95).
+
+    Order fix vs the reference: its composer normalizes BEFORE RemoveAlpha,
+    but AddGrayscale has produced 5 channels (gray,R,G,B,A) while the
+    config supplies 4 means/stds — that order cannot execute
+    (broadcast error). The intended 4-channel model input is
+    (gray, R, G, B), so RemoveAlpha runs right after AddGrayscale and
+    normalization sees exactly 4 channels.
+    """
     ts = [ToFloat()]
     if kwargs.get("image_resize"):
         ts.append(Resize(**kwargs))
@@ -102,10 +110,10 @@ def ComposeImageTransformation(**kwargs):
         ts.append(Pad(**kwargs))
     if kwargs.get("image_add_grayscale"):
         ts.append(AddGrayscale())
+    if kwargs.get("image_remove_alpha"):
+        ts.append(RemoveAlpha())
     if kwargs.get("image_normalize"):
         ts.append(NormalizeImages(**kwargs))
     if kwargs.get("image_noise"):
         ts.append(AddNoise2Images(**kwargs))
-    if kwargs.get("image_remove_alpha"):
-        ts.append(RemoveAlpha())
     return Compose(ts)

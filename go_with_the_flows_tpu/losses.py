@@ -107,3 +107,47 @@ def flow_mixture_loss(
     gent = gaussian_entropy(outputs["g_posterior_logvars"])
     loss = pnll_weight * pnll + gnll_weight * gnll - gent_weight * gent
     return loss, {"loss": loss, "pnll": pnll, "gnll": gnll, "gent": gent}
+
+
+def point_flow_nll(
+    p0_sample: jax.Array,  # (B, C, N) base-level points of ONE flow
+    p_logvar_sum: jax.Array,  # (B, C, N) flow logvar sum incl. base
+    p_base_mus: jax.Array,  # (B, C, 1)
+    p_base_logvars: jax.Array,  # (B, C, 1)
+) -> jax.Array:
+    """Legacy single-flow per-point NLL (reference losses.py:7-20,
+    PointFlowNLL) — the DPF loss the mixture generalizes. Returns the
+    per-point (B, 1, N) negative log-likelihoods (reference keeps the
+    keepdim=1 channel axis)."""
+    quad = (p0_sample - p_base_mus) ** 2 / jnp.exp(p_base_logvars)
+    C = p0_sample.shape[1]
+    return 0.5 * (
+        jnp.sum(p_logvar_sum + quad, axis=1, keepdims=True)
+        + C * _LOG_2PI
+    )
+
+
+def single_flow_vae_loss(
+    outputs: Dict[str, jax.Array],
+    pnll_weight: float = 1.0,
+    gnll_weight: float = 1.0,
+    gent_weight: float = 1.0,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Legacy DPF loss (reference losses.py:42-56,
+    Local_Cond_RNVP_MC_Global_RNVP_VAE_Loss): summed single-flow PNLL +
+    GNLL - GENT. Works on the K=1 mixture output dict."""
+    pnll = jnp.sum(
+        point_flow_nll(
+            outputs["p0_samples"][0],
+            outputs["p_logvar_sums"][0],
+            outputs["p_base_mus"],
+            outputs["p_base_logvars"],
+        )
+    )
+    gnll = gaussian_flow_nll(
+        outputs["g0_sample"], outputs["g_prior_mus0"],
+        outputs["g_prior_logvars0"], outputs["g_prior_logvar_sum"],
+    )
+    gent = gaussian_entropy(outputs["g_posterior_logvars"])
+    loss = pnll_weight * pnll + gnll_weight * gnll - gent_weight * gent
+    return loss, {"loss": loss, "pnll": pnll, "gnll": gnll, "gent": gent}
