@@ -207,20 +207,33 @@ class PointDecoderFlow(nn.Module):
     Returns ``(p_out, logvar_sum)`` where ``logvar_sum`` is the sum of every
     coupling's (B, 3, N) logvar — the flow part of the log-determinant the
     mixture NLL consumes (reference losses.py:115 sums the per-layer list).
+
+    ``remat=True`` rematerializes each coupling in the backward pass
+    (jax.checkpoint): live activation memory drops from O(n_flows * B*3*N)
+    to O(B*3*N), buying headroom for large global batches on HBM at ~1/3
+    extra forward FLOPs.
     """
 
     n_flows: int
     f_features: int
     g_features: int  # conditioner latent size (kept for config parity)
     weight_std: float = 0.01
+    remat: bool = False
 
     def setup(self):
+        coupling_cls = CondAffineCoupling3D
+        if self.remat:
+            # static_argnums index the lifted fn's args where 0 is the
+            # module scope: (3, 4) marks the positional (mode, train) args
+            coupling_cls = nn.remat(
+                CondAffineCoupling3D, static_argnums=(3, 4)
+            )
         couplings = []
         for i in range(self.n_flows):
             pattern = _TRIPLE_PATTERNS[i % 2]
             for j, warp in enumerate(pattern):
                 couplings.append(
-                    CondAffineCoupling3D(
+                    coupling_cls(
                         warp_inds=warp,
                         f_features=self.f_features,
                         weight_std=self.weight_std,
@@ -235,7 +248,9 @@ class PointDecoderFlow(nn.Module):
         )
         logvar_sum = jnp.zeros_like(p)
         for coupling in order:
-            p, logvar = coupling(p, g, mode=mode, train=train)
+            # positional mode/train: jax.checkpoint's static_argnums only
+            # applies to positional args
+            p, logvar = coupling(p, g, mode, train)
             logvar_sum = logvar_sum + logvar
         return p, logvar_sum
 

@@ -112,6 +112,7 @@ class FlowMixtureModel(nn.Module):
 
     pc_enc_init_n_features: int = 64
     pc_enc_n_features: Sequence[int] = (128, 256, 512)
+    remat_couplings: bool = False  # rematerialize decoder couplings
 
     def setup(self):
         G = self.g_latent_space_size
@@ -191,6 +192,7 @@ class FlowMixtureModel(nn.Module):
             f_features=feats,
             g_features=G,
             weight_std=0.01,
+            remat=self.remat_couplings,
             name="pc_decoder",
         )
 

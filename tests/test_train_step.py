@@ -126,3 +126,26 @@ def test_eval_and_sample_steps():
     assert samples.shape == (4, 3, 24)
     assert labels.shape == (4, 24)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_remat_matches_baseline():
+    """remat_couplings must not change the training step numerics."""
+    model_a = FlowMixtureModel(**TINY)
+    model_b = FlowMixtureModel(**TINY, remat_couplings=True)
+    optimizer = make_optimizer(
+        epoch_length=10, cycle_length=4, min_lr=1e-3, max_lr=1e-3,
+        beta1=0.9, min_beta2=0.99, max_beta2=0.99, wd=1e-6,
+    )
+    rng = np.random.RandomState(5)
+    batch = _synthetic_batch(rng, B=8, N=32)
+    state_a = create_train_state(model_a, jax.random.PRNGKey(0), batch,
+                                 optimizer)
+    state_b = create_train_state(model_b, jax.random.PRNGKey(0), batch,
+                                 optimizer)
+    step_a = make_train_step(model_a, optimizer)
+    step_b = make_train_step(model_b, optimizer)
+    g, p = jnp.asarray(batch["cloud"]), jnp.asarray(batch["eval_cloud"])
+    _, m_a = step_a(state_a, g, p, jax.random.PRNGKey(1), warmup=False)
+    _, m_b = step_b(state_b, g, p, jax.random.PRNGKey(1), warmup=False)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
