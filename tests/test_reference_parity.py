@@ -542,3 +542,128 @@ def test_param_budget_parity():
             got = reduce_decoder_params(k, mode, 21, 64, 128)
             want = ref._get_decoder_params()
             assert got == tuple(want), (mode, k, got, want)
+
+
+def test_pointnet_encoder_parity():
+    import torch
+    from lib.networks.encoders import PointNetCloudEncoder as RefEnc
+
+    from go_with_the_flows_tpu.models.encoders import PointNetCloudEncoder
+
+    torch.manual_seed(14)
+    ref = RefEnc(3, 8, [8, 16])
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    ref.eval()
+
+    feats = ref.features
+    # layout: [init_sd, init_sd_bn, relu, sd0, sd0_bn, relu, sd1, ...]
+    def sd(mod):
+        return {"kernel": _t2n(mod.weight)[0]}
+
+    params = {
+        "init_sd": sd(feats.init_sd),
+        "init_sd_bn": _bn_vars(feats.init_sd_bn)["params"],
+        "sd0": sd(feats.sd0),
+        "sd0_bn": _bn_vars(feats.sd0_bn)["params"],
+        "sd1": sd(feats.sd1),
+        "sd1_bn": _bn_vars(feats.sd1_bn)["params"],
+    }
+    stats = {
+        "init_sd_bn": _bn_vars(feats.init_sd_bn)["batch_stats"],
+        "sd0_bn": _bn_vars(feats.sd0_bn)["batch_stats"],
+        "sd1_bn": _bn_vars(feats.sd1_bn)["batch_stats"],
+    }
+    mine = PointNetCloudEncoder(8, (8, 16))
+
+    rng = np.random.RandomState(15)
+    x = rng.randn(3, 3, 24).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+    got = mine.apply({"params": params, "batch_stats": stats},
+                     jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), _t2n(want), rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_feature_encoder_parity():
+    import torch
+    from lib.networks.encoders import FeatureEncoder as RefEnc
+
+    from go_with_the_flows_tpu.models.encoders import FeatureEncoder
+
+    torch.manual_seed(16)
+    ref = RefEnc(2, 12, 6, deterministic=False)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    ref.eval()
+
+    params = {
+        "mlp0": {"kernel": _t2n(ref.features.mlp0.weight).T},
+        "mlp0_bn": _bn_vars(ref.features.mlp0_bn)["params"],
+        "mlp1": {"kernel": _t2n(ref.features.mlp1.weight).T},
+        "mlp1_bn": _bn_vars(ref.features.mlp1_bn)["params"],
+        "mu_head": {"kernel": _t2n(ref.mus.mu_mlp0.weight).T,
+                    "bias": _t2n(ref.mus.mu_mlp0.bias)},
+        "logvar_head": {"kernel": _t2n(ref.logvars.logvar_mlp0.weight).T,
+                        "bias": _t2n(ref.logvars.logvar_mlp0.bias)},
+    }
+    stats = {
+        "mlp0_bn": _bn_vars(ref.features.mlp0_bn)["batch_stats"],
+        "mlp1_bn": _bn_vars(ref.features.mlp1_bn)["batch_stats"],
+    }
+    mine = FeatureEncoder(n_layers=2, latent_space_size=6,
+                          deterministic=False)
+
+    rng = np.random.RandomState(17)
+    x = rng.randn(5, 12).astype(np.float32)
+    with torch.no_grad():
+        mu_ref, lv_ref = ref(torch.from_numpy(x))
+    mu, lv = mine.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(mu), _t2n(mu_ref), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lv), _t2n(lv_ref), rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_weights_encoder_parity():
+    import torch
+    from lib.networks.encoders import WeightsEncoder as RefEnc
+
+    from go_with_the_flows_tpu.models.encoders import WeightsEncoder
+
+    torch.manual_seed(18)
+    ref = RefEnc(1, 12, 4, deterministic=True)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    ref.eval()
+
+    params = {"features": {
+        "mlp0": {"kernel": _t2n(ref.features.mlp0.weight).T},
+        "mlp0_bn": _bn_vars(ref.features.mlp0_bn)["params"],
+        "mu_head": {"kernel": _t2n(ref.mus.mu_mlp0.weight).T,
+                    "bias": _t2n(ref.mus.mu_mlp0.bias)},
+    }}
+    stats = {"features": {
+        "mlp0_bn": _bn_vars(ref.features.mlp0_bn)["batch_stats"],
+    }}
+    mine = WeightsEncoder(n_layers=1, n_components=4)
+
+    rng = np.random.RandomState(19)
+    x = rng.randn(5, 12).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+    got = mine.apply({"params": params, "batch_stats": stats},
+                     jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), _t2n(want), rtol=2e-5,
+                               atol=1e-6)
