@@ -158,6 +158,9 @@ class ShapeNetCoreDataset:
             vertices, faces, size=self.cloud_size,
             return_eval_cloud=self.return_eval_cloud, rng=rng,
         )
+        return self._finalize(sample, i)
+
+    def _finalize(self, sample, i):
         if self.return_original_scale:
             sample["orig_c"] = self.original_centers[i]
             sample["orig_s"] = self.original_scales[i]
@@ -169,6 +172,47 @@ class ShapeNetCoreDataset:
         if self.sample_labels:
             sample["label"] = self.labels[i]
         return sample
+
+    def get_batch(self, indices):
+        """Batched fast path: one multithreaded native sampling call for
+        the whole batch (csrc/sampler.cpp), then per-sample metadata +
+        transforms. Returns a list of sample dicts; None if the native
+        sampler is unavailable (the loader falls back to __getitem__)."""
+        from . import native
+
+        if not native.native_available():
+            return None
+        if self.chosen_label is not None:
+            indices = [int(self.chosen_label_inds[i]) for i in indices]
+        else:
+            indices = [int(i) for i in indices]
+
+        meshes = [self._read_mesh(i) for i in indices]
+        verts = np.concatenate([v for v, _ in meshes])
+        faces = np.concatenate([f for _, f in meshes])
+        v_bounds = np.cumsum(
+            [0] + [len(v) for v, _ in meshes]
+        ).astype(np.int64)
+        f_bounds = np.cumsum(
+            [0] + [len(f) for _, f in meshes]
+        ).astype(np.int64)
+        n = 2 * self.cloud_size if self.return_eval_cloud else self.cloud_size
+        seed = int(self._rng(indices[0]).integers(0, 2 ** 62))
+        pts = native.sample_batch_native(
+            verts, v_bounds, faces, f_bounds, n_samples=n, seed=seed
+        )  # (B, 3, n)
+
+        samples = []
+        for b, i in enumerate(indices):
+            if self.return_eval_cloud:
+                sample = {
+                    "cloud": np.ascontiguousarray(pts[b, :, ::2]),
+                    "eval_cloud": np.ascontiguousarray(pts[b, :, 1::2]),
+                }
+            else:
+                sample = {"cloud": pts[b]}
+            samples.append(self._finalize(sample, i))
+        return samples
 
 
 class ShapeNetAllDataset(ShapeNetCoreDataset):
@@ -200,6 +244,61 @@ class ShapeNetAllDataset(ShapeNetCoreDataset):
         if self.chosen_label is not None:
             return self.VIEWS * self.chosen_label_inds.shape[0]
         return self.VIEWS * (self.vertices_c_bounds.shape[0] - 1)
+
+    def get_batch(self, indices):
+        """Batched native sampling for the SVR dataset: shapes are sampled
+        in one native call, images loaded per view."""
+        from . import native
+
+        if not native.native_available():
+            return None
+        pairs = []  # (sh_i, im_i) in dataset-index space
+        for i in indices:
+            i = int(i)
+            if self.chosen_label is not None:
+                sh_i = int(self.chosen_label_inds[i // self.VIEWS])
+                im_i = self.VIEWS * sh_i + (i % self.VIEWS)
+            else:
+                sh_i = i // self.VIEWS
+                im_i = i
+            pairs.append((sh_i, im_i))
+
+        meshes = [self._read_mesh(sh) for sh, _ in pairs]
+        verts = np.concatenate([v for v, _ in meshes])
+        faces = np.concatenate([f for _, f in meshes])
+        v_bounds = np.cumsum(
+            [0] + [len(v) for v, _ in meshes]
+        ).astype(np.int64)
+        f_bounds = np.cumsum(
+            [0] + [len(f) for _, f in meshes]
+        ).astype(np.int64)
+        n = 2 * self.cloud_size if self.return_eval_cloud else self.cloud_size
+        seed = int(self._rng(pairs[0][1]).integers(0, 2 ** 62))
+        pts = native.sample_batch_native(
+            verts, v_bounds, faces, f_bounds, n_samples=n, seed=seed
+        )
+
+        if self.images_file is None:
+            h5 = _h5()
+            self.images_file = h5.File(
+                os.path.join(self.path2data, self.images_fname),
+                "r", libver="latest", swmr=True,
+            )
+        samples = []
+        for b, (sh_i, im_i) in enumerate(pairs):
+            if self.return_eval_cloud:
+                sample = {
+                    "cloud": np.ascontiguousarray(pts[b, :, ::2]),
+                    "eval_cloud": np.ascontiguousarray(pts[b, :, 1::2]),
+                }
+            else:
+                sample = {"cloud": pts[b]}
+            image = np.asarray(self.images_file[self.part + "_images"][im_i])
+            if self.image_transform is not None:
+                image = self.image_transform(image)
+            sample["image"] = image
+            samples.append(self._finalize(sample, sh_i))
+        return samples
 
     def __getitem__(self, i):
         rng = self._rng(i)

@@ -112,9 +112,13 @@ class DataLoader:
         pool = self._get_pool()
         for b in range(n_batches):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = None
             if pool is not None:
                 samples = pool.map(_worker_get, chunk)
-            else:
+            elif hasattr(self.dataset, "get_batch"):
+                # native multithreaded batch sampling fast path
+                samples = self.dataset.get_batch(chunk)
+            if samples is None:
                 samples = [self.dataset[int(i)] for i in chunk]
             yield _collate(samples, self.image_nhwc)
 

@@ -211,3 +211,58 @@ class TestDatasets:
         i1 = loader._indices().copy()
         assert not np.array_equal(i0, i1)
         ds.close()
+
+
+class TestBatchFastPath:
+    def test_get_batch_matches_item_shapes(self, tmp_path):
+        import os
+
+        from go_with_the_flows_tpu.data import native
+        from go_with_the_flows_tpu.data.synthetic import (
+            write_synthetic_meshes_h5 as w,
+        )
+
+        if not native.native_available():
+            pytest.skip("no native sampler")
+        path = w(str(tmp_path / "m.h5"), n_shapes=6)
+        ds = ShapeNetCoreDataset(
+            os.path.dirname(path), part="train",
+            meshes_fname=os.path.basename(path), cloud_size=32,
+            return_eval_cloud=True, return_original_scale=True,
+        )
+        batch = ds.get_batch([0, 2, 4])
+        assert batch is not None and len(batch) == 3
+        for s in batch:
+            assert s["cloud"].shape == (3, 32)
+            assert s["eval_cloud"].shape == (3, 32)
+            assert "orig_s" in s
+            assert np.isfinite(s["cloud"]).all()
+        ds.close()
+
+    def test_svr_get_batch_includes_images(self, tmp_path):
+        import os
+
+        from go_with_the_flows_tpu.data import native
+        from go_with_the_flows_tpu.data.synthetic import (
+            write_synthetic_meshes_h5, write_synthetic_images_h5,
+        )
+
+        if not native.native_available():
+            pytest.skip("no native sampler")
+        m = write_synthetic_meshes_h5(str(tmp_path / "m.h5"), n_shapes=2)
+        write_synthetic_images_h5(str(tmp_path / "images.h5"), n_shapes=2,
+                                  hw=17, parts=("train",))
+        ds = ShapeNetAllDataset(
+            os.path.dirname(m), part="train",
+            meshes_fname="m.h5", images_fname="images.h5",
+            cloud_size=16, return_eval_cloud=True,
+        )
+        batch = ds.get_batch([0, 25, 47])
+        assert batch is not None
+        for s in batch:
+            assert s["image"].shape == (4, 17, 17)
+            assert s["cloud"].shape == (3, 16)
+        # image indices map per view: item 25 = shape 1, view 1
+        item = ds[25]
+        np.testing.assert_array_equal(batch[1]["image"], item["image"])
+        ds.close()
