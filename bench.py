@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from go_with_the_flows_tpu.models.mixture import FlowMixtureModel
 from go_with_the_flows_tpu.ops.chamfer import chamfer
+from go_with_the_flows_tpu.ops.pallas.chamfer_kernel import chamfer_pallas
 
 # Measured with `python bench.py --cpu` on the round-1 dev box
 # (1-core CPU, JAX_PLATFORMS=cpu, same jitted program, B=64, N=2048).
@@ -52,18 +53,23 @@ FLAGSHIP = dict(
     pc_enc_n_features=(128, 256, 512),
 )
 
-B = 64
+# B=1024 saturates the chip (the sampling program is dispatch-latency
+# bound below ~512); the Pallas chamfer keeps eval memory flat so the
+# large batch fits. CPU fallback uses the XLA chamfer and a small batch.
+B = 1024
 N = 2048
 
 
 def main(measure_only: bool = False):
+    on_tpu = jax.default_backend() == "tpu"
+    batch = B if on_tpu else 64
     model = FlowMixtureModel(**FLAGSHIP)
     rng = jax.random.PRNGKey(0)
-    g_in = jax.random.normal(rng, (B, 3, N)) * 0.2
+    g_in = jax.random.normal(rng, (batch, 3, N)) * 0.2
     variables = model.init(
         {"params": rng, "sample": rng}, g_in, g_in, mode="training"
     )
-    ref = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)) * 0.2
+    ref = jax.random.normal(jax.random.PRNGKey(1), (batch, N, 3)) * 0.2
 
     @jax.jit
     def sample_and_eval(params, batch_stats, key, ref_clouds):
@@ -73,7 +79,8 @@ def main(measure_only: bool = False):
             rngs={"sample": key},
         )
         gen = jnp.transpose(samples, (0, 2, 1))  # (B, N, 3)
-        dl, dr = chamfer(gen, ref_clouds)
+        cd_fn = chamfer_pallas if on_tpu else chamfer
+        dl, dr = cd_fn(gen, ref_clouds)
         cd = jnp.mean(dl, axis=1) + jnp.mean(dr, axis=1)
         return samples, labels, cd
 
@@ -92,7 +99,7 @@ def main(measure_only: bool = False):
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
 
-    clouds_per_sec = B * n_iters / elapsed
+    clouds_per_sec = batch * n_iters / elapsed
     if measure_only:
         print(f"# measured {clouds_per_sec:.3f} clouds/sec on "
               f"{jax.default_backend()}")

@@ -266,3 +266,23 @@ class TestBatchFastPath:
         item = ds[25]
         np.testing.assert_array_equal(batch[1]["image"], item["image"])
         ds.close()
+
+
+def test_loader_with_worker_pool(tmp_path):
+    """num_workers>0: fork pool path must produce the same batch shapes
+    (h5 handles are opened lazily per worker, never pickled)."""
+    import os
+
+    path = write_synthetic_meshes_h5(str(tmp_path / "m.h5"), n_shapes=8)
+    ds = ShapeNetCoreDataset(
+        os.path.dirname(path), part="train",
+        meshes_fname=os.path.basename(path), cloud_size=16,
+        return_eval_cloud=True,
+    )
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["cloud"].shape == (4, 3, 16)
+    assert np.isfinite(batches[0]["cloud"]).all()
+    loader.close()
+    ds.close()
