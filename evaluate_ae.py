@@ -113,6 +113,7 @@ def main():
         )
     loader = DataLoader(
         dataset, batch_size=args.batch_size, shuffle=False,
+        drop_last=False,  # the eval protocol covers the full split
         num_workers=config.get("num_workers", 0),
     )
     print(f"Dataset init: done ({len(dataset)} items).")

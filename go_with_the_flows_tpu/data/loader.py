@@ -27,7 +27,10 @@ def _worker_init(dataset):
     _WORKER_DATASET = dataset
 
 
-def _worker_get(i):
+def _worker_get(job):
+    epoch, i = job
+    if hasattr(_WORKER_DATASET, "set_epoch"):
+        _WORKER_DATASET.set_epoch(int(epoch))
     return _WORKER_DATASET[int(i)]
 
 
@@ -114,7 +117,11 @@ class DataLoader:
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
             samples = None
             if pool is not None:
-                samples = pool.map(_worker_get, chunk)
+                # thread the epoch through: forked workers hold a snapshot
+                # of the dataset, so set_epoch must travel with each job
+                samples = pool.map(
+                    _worker_get, [(self.epoch, i) for i in chunk]
+                )
             elif hasattr(self.dataset, "get_batch"):
                 # native multithreaded batch sampling fast path
                 samples = self.dataset.get_batch(chunk)

@@ -122,12 +122,7 @@ class ObjMesh:
         """Map each vertex to the first earlier vertex within atol."""
         v = self.vertices
         n = len(v)
-        # grid hash: vertices within atol share (or neighbor) a cell
-        cell = np.round(v / (atol * 4)).astype(np.int64)
-        order = np.lexsort((cell[:, 2], cell[:, 1], cell[:, 0]))
         canonical = np.arange(n)
-        # compare within a sliding window of the sorted ordering plus an
-        # exact pass over duplicates detected by distance
         from scipy.spatial import cKDTree
 
         tree = cKDTree(v)

@@ -82,16 +82,15 @@ def write_synthetic_meshes_h5(
                 part + "_orig_c",
                 data=rng.normal(size=(n_shapes, 3)).astype(np.float32) * 0.01,
             )
-            f.create_dataset(
-                part + "_orig_s",
-                data=np.ones((n_shapes, 1), np.float32),
+            f.create_dataset(  # (n,) matching the preprocess CLIs
+                part + "_orig_s", data=np.ones((n_shapes,), np.float32)
             )
             f.create_dataset(
                 part + "_bbox_c",
                 data=np.zeros((n_shapes, 3), np.float32),
             )
             f.create_dataset(
-                part + "_bbox_s", data=np.ones((n_shapes, 1), np.float32)
+                part + "_bbox_s", data=np.ones((n_shapes,), np.float32)
             )
     return path
 

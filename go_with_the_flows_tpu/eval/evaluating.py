@@ -63,11 +63,12 @@ def _denormalize(r_clouds, p_clouds, batch, **kwargs):
             r_clouds = r_clouds + shift
             p_clouds = p_clouds + shift
         if not kwargs.get("cloud_rescale2orig"):
-            s = np.asarray(batch["orig_s"])[:, :, None]
+            # orig_s is (B,) in the packed h5 (preprocess writes (n,))
+            s = np.asarray(batch["orig_s"]).reshape(-1, 1, 1)
             r_clouds = r_clouds * s
             p_clouds = p_clouds * s
         if not kwargs.get("cloud_recenter2orig"):
-            c = np.asarray(batch["orig_c"])[:, :, None]
+            c = np.asarray(batch["orig_c"]).reshape(-1, 3, 1)
             r_clouds = r_clouds + c
             p_clouds = p_clouds + c
     return r_clouds, p_clouds

@@ -34,22 +34,27 @@ def _pallas_eligible(n: int, m: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("f1_threshold", "use_pallas")
+    jax.jit, static_argnames=("f1_threshold", "use_pallas", "with_emd")
 )
 def _paired_stats(sample, ref, f1_threshold: float,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, with_emd: bool = True):
     """Per-pair CD parts, EMD and F1 for equal-length batches.
     F1 per reference evaluation_metrics.py:77-81: precision/recall are the
-    fraction of points under the squared-distance threshold, x100."""
+    fraction of points under the squared-distance threshold, x100.
+    `with_emd=False` skips the (expensive) 9-level EMD entirely — under
+    jit every returned output is computed, so CD-only evals must not
+    trace it (the reference computes EMD on demand)."""
     if use_pallas:
         from ..ops.pallas.chamfer_kernel import chamfer_pallas
         from ..ops.pallas.emd_kernel import emd_cost_pallas
 
         dl, dr = chamfer_pallas(sample, ref)
-        emd = emd_cost_pallas(sample, ref) / sample.shape[1]
+        emd = (emd_cost_pallas(sample, ref) / sample.shape[1]
+               if with_emd else jnp.zeros(sample.shape[0]))
     else:
         dl, dr = chamfer(sample, ref)
-        emd = emd_approx(sample, ref)
+        emd = (emd_approx(sample, ref) if with_emd
+               else jnp.zeros(sample.shape[0]))
     cdl = jnp.mean(dl, axis=1)
     cdr = jnp.mean(dr, axis=1)
     precision = 100.0 * jnp.mean((dr < f1_threshold).astype(jnp.float32), 1)
@@ -80,7 +85,7 @@ def EMD_CD_F1(
         e = min(n, s + batch_size)
         cdl, cdr, emd, f1 = _paired_stats(
             jnp.asarray(sample_pcs[s:e]), jnp.asarray(ref_pcs[s:e]),
-            f1_threshold, use_pallas,
+            f1_threshold, use_pallas, emd_option,
         )
         cdl_all.append(np.asarray(cdl))
         cdr_all.append(np.asarray(cdr))
@@ -136,7 +141,7 @@ def pairwise_EMD_CD_F1(
             chunk = ref_dev[s:e]
             tiled = jnp.broadcast_to(one[None], (e - s,) + one.shape)
             cdl, cdr, emd, f1 = _paired_stats(tiled, chunk, f1_threshold,
-                                              use_pallas)
+                                              use_pallas, emd_option)
             cdl_m[i, s:e] = np.asarray(cdl)
             cdr_m[i, s:e] = np.asarray(cdr)
             if emd_option:

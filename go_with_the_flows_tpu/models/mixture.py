@@ -298,8 +298,13 @@ class FlowMixtureModel(nn.Module):
         if self.weights_type not in ("global_weights", "learned_weights"):
             raise ValueError(f"Unknown weights_type: {self.weights_type}")
         B = g_sample.shape[0]
-        learned = self.mixture_weights_encoder(g_sample, train=train)
-        if warmup or self.weights_type == "global_weights":
+        use_global = warmup or self.weights_type == "global_weights"
+        # when the learned branch is unused, run the encoder in inference
+        # mode so its BN running stats do not drift (torch never calls it)
+        learned = self.mixture_weights_encoder(
+            g_sample, train=train and not use_global
+        )
+        if use_global:
             return jnp.broadcast_to(
                 self.mixture_weights_logits[None, :], (B, self.n_components)
             )

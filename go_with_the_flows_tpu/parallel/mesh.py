@@ -101,6 +101,10 @@ def shard_batch(mesh: Mesh, batch, shard_points: bool = False):
         spec[0] = "data"
         if shard_points and x.ndim == 3:
             spec[2] = "points"
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        sharding = NamedSharding(mesh, P(*spec))
+        if jax.process_count() > 1:
+            # each process holds its shard of the global batch
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)

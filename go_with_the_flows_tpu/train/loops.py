@@ -53,9 +53,17 @@ def train(
     rng: jax.Array,
     writer=None,
     svr: bool = False,
+    mesh=None,
     **config,
 ) -> TrainState:
-    """One training epoch. Returns the updated state."""
+    """One training epoch. Returns the updated state.
+
+    `mesh`: when given, each host batch is placed with the batch axis
+    sharded over the mesh's 'data' axis (multi-host safe via
+    make_array_from_process_local_data) — the data-parallel path.
+    Metrics are fetched one step behind so the host never blocks on the
+    in-flight device step.
+    """
     num_workers = max(int(config.get("num_workers", 1)), 1)
     logging = config.get("logging", False)
     logging_path = config.get("logging_path", ".")
@@ -65,8 +73,29 @@ def train(
     data_time = AverageMeter()
     meters = {k: AverageMeter() for k in ("loss", "pnll", "gnll", "gent")}
 
+    def put(batch):
+        if mesh is not None:
+            data_size = mesh.shape.get("data", 1)
+            if batch["cloud"].shape[0] % max(data_size, 1) == 0:
+                from ..parallel.mesh import shard_batch
+
+                return shard_batch(mesh, batch)
+            # batch not divisible by the data axis (tiny smoke runs):
+            # fall back to replicated placement
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def consume(metrics, bsz, it):
+        m = _fetch(metrics)
+        if not np.isfinite(m["loss"]):
+            raise NaNLossError(
+                f"Loss is {m['loss']} at epoch {epoch} iter {it}"
+            )
+        for k in meters:
+            meters[k].update(m[k], bsz)
+
     loader.set_epoch(epoch)
     n_batches = len(loader)
+    pending = None  # (metrics, bsz, it) of the in-flight step
     end = time.time()
     for i, batch in enumerate(loader):
         it = start_iter + i
@@ -74,24 +103,18 @@ def train(
             break
         data_time.update(time.time() - end)
 
-        g = jnp.asarray(batch["cloud"])
-        p = jnp.asarray(batch["eval_cloud"])
+        dev = put(batch)
+        g, p = dev["cloud"], dev["eval_cloud"]
         if svr:
-            images = jnp.asarray(batch["image"])
             state, metrics = train_step(
-                state, g, p, rng, images=images, warmup=warmup
+                state, g, p, rng, images=dev["image"], warmup=warmup
             )
         else:
             state, metrics = train_step(state, g, p, rng, warmup=warmup)
 
-        m = _fetch(metrics)
-        if not np.isfinite(m["loss"]):
-            raise NaNLossError(
-                f"Loss is {m['loss']} at epoch {epoch} iter {it}"
-            )
-        bsz = g.shape[0]
-        for k in meters:
-            meters[k].update(m[k], bsz)
+        if pending is not None:
+            consume(*pending)  # blocks on the PREVIOUS step only
+        pending = (metrics, g.shape[0], it)
         batch_time.update(time.time() - end)
         end = time.time()
 
@@ -110,6 +133,8 @@ def train(
         if (it + 1) % (100 * num_workers) == 0 and logging:
             save_checkpoint(logging_path, model_name, state, epoch, it + 1)
 
+    if pending is not None:
+        consume(*pending)
     if logging and writer is not None:
         writer.add_scalar("train/loss", meters["loss"].avg, epoch)
         writer.add_scalar("train/PNLL", meters["pnll"].avg, epoch)
@@ -143,13 +168,14 @@ def evaluate_val(
     for i, batch in enumerate(loader):
         g = jnp.asarray(batch["cloud"])
         p = jnp.asarray(batch["eval_cloud"])
+        key = jax.random.fold_in(rng, i)  # fresh noise per batch
         if svr:
             metrics = eval_step(
-                state, g, p, rng, images=jnp.asarray(batch["image"]),
+                state, g, p, key, images=jnp.asarray(batch["image"]),
                 warmup=warmup,
             )
         else:
-            metrics = eval_step(state, g, p, rng, warmup=warmup)
+            metrics = eval_step(state, g, p, key, warmup=warmup)
         m = _fetch(metrics)
         if not np.isfinite(m["loss"]):
             raise NaNLossError(f"Eval loss is {m['loss']} at epoch {epoch}")

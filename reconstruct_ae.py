@@ -47,7 +47,8 @@ def main():
         chosen_label=config.get("chosen_label"),
         base_seed=args.seed,
     )
-    loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False)
+    loader = DataLoader(dataset, batch_size=args.batch_size,
+                        shuffle=False, drop_last=False)
 
     model = FlowMixtureModel(**model_config_kwargs(config))
     optimizer = make_optimizer(epoch_length=max(len(loader), 1), **config)

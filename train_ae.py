@@ -189,7 +189,8 @@ def main():
             warmup = epoch < args.warmup_epoch
             state = loops.train(
                 train_loader, train_step, state, epoch, cur_iter, warmup,
-                jax.random.fold_in(rng, epoch), writer=writer, **config,
+                jax.random.fold_in(rng, epoch), writer=writer, mesh=mesh,
+                **config,
             )
             min_loss = loops.evaluate_val(
                 val_loader, eval_step, state, epoch, warmup, min_loss,

@@ -146,7 +146,7 @@ def main():
             state = loops.train(
                 train_loader, train_step, state, epoch, cur_iter, warmup,
                 jax.random.fold_in(rng, epoch), writer=writer, svr=True,
-                **config,
+                mesh=mesh, **config,
             )
             cur_iter = 0
 
