@@ -121,34 +121,52 @@ def pairwise_EMD_CD_F1(
     f1_option: bool = False,
     verbose: bool = False,
 ):
-    """Full (N_sample, N_ref) metric matrices: one sample against batched
-    refs (reference evaluation_metrics.py:103-176,
-    _pairwise_EMD_CD_F1_SCORE)."""
+    """Full (N_sample, N_ref) metric matrices (reference
+    evaluation_metrics.py:103-176, _pairwise_EMD_CD_F1_SCORE).
+
+    TPU-first restructuring: instead of the reference's one-sample-vs-
+    ref-chunk dispatches, multiple samples are tiled against the ref
+    chunk in a single (S*R)-pair program — the per-pair kernels are
+    dispatch-latency bound, so batching dispatches is a ~10x wall-clock
+    win on the full matrices while producing identical entries.
+    """
     n_sample = sample_pcs.shape[0]
     n_ref = ref_pcs.shape[0]
-    cd_m = np.zeros((n_sample, n_ref), np.float32)
     cdl_m = np.zeros((n_sample, n_ref), np.float32)
     cdr_m = np.zeros((n_sample, n_ref), np.float32)
     emd_m = np.zeros((n_sample, n_ref), np.float32)
     f1_m = np.zeros((n_sample, n_ref), np.float32)
 
     use_pallas = _pallas_eligible(sample_pcs.shape[1], ref_pcs.shape[1])
+    # pair budget per dispatch: the Pallas kernels hold no (pairs, N, M)
+    # HBM buffers, so they afford much larger dispatches than XLA
+    max_pairs = 512 if use_pallas else max(batch_size, 60)
+    samples_per_call = max(1, max_pairs // max(batch_size, 1))
+
+    sample_dev = jnp.asarray(sample_pcs)
     ref_dev = jnp.asarray(ref_pcs)
-    for i in range(n_sample):
-        one = jnp.asarray(sample_pcs[i])
+    for i0 in range(0, n_sample, samples_per_call):
+        i1 = min(n_sample, i0 + samples_per_call)
+        S = i1 - i0
         for s in range(0, n_ref, batch_size):
             e = min(n_ref, s + batch_size)
-            chunk = ref_dev[s:e]
-            tiled = jnp.broadcast_to(one[None], (e - s,) + one.shape)
+            R = e - s
+            # (S, R, N, 3) -> (S*R, N, 3) pair batches
+            tiled = jnp.broadcast_to(
+                sample_dev[i0:i1, None], (S, R) + sample_pcs.shape[1:]
+            ).reshape(S * R, *sample_pcs.shape[1:])
+            chunk = jnp.broadcast_to(
+                ref_dev[None, s:e], (S, R) + ref_pcs.shape[1:]
+            ).reshape(S * R, *ref_pcs.shape[1:])
             cdl, cdr, emd, f1 = _paired_stats(tiled, chunk, f1_threshold,
                                               use_pallas, emd_option)
-            cdl_m[i, s:e] = np.asarray(cdl)
-            cdr_m[i, s:e] = np.asarray(cdr)
+            cdl_m[i0:i1, s:e] = np.asarray(cdl).reshape(S, R)
+            cdr_m[i0:i1, s:e] = np.asarray(cdr).reshape(S, R)
             if emd_option:
-                emd_m[i, s:e] = np.asarray(emd)
-            f1_m[i, s:e] = np.asarray(f1)
-        if verbose and (i + 1) % 50 == 0:
-            print(f"pairwise: {i + 1}/{n_sample}")
+                emd_m[i0:i1, s:e] = np.asarray(emd).reshape(S, R)
+            f1_m[i0:i1, s:e] = np.asarray(f1).reshape(S, R)
+        if verbose and (i1 % 50) < samples_per_call:
+            print(f"pairwise: {i1}/{n_sample}")
     cd_m = cdl_m + cdr_m
     return cd_m, emd_m, f1_m, cdl_m, cdr_m
 
