@@ -33,8 +33,8 @@ from go_with_the_flows_tpu.ops.chamfer import chamfer
 from go_with_the_flows_tpu.ops.pallas.chamfer_kernel import chamfer_pallas
 
 # Measured with `python bench.py --cpu` on the round-1 dev box
-# (1-core CPU, JAX_PLATFORMS=cpu, same jitted program, B=64, N=2048).
-CPU_BASELINE_CLOUDS_PER_SEC = 3.88
+# (1-core CPU, same jitted program with the scan decoder, B=64, N=2048).
+CPU_BASELINE_CLOUDS_PER_SEC = 2.95
 
 FLAGSHIP = dict(
     n_components=4,

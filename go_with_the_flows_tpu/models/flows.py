@@ -373,3 +373,126 @@ class LatentPriorFlow(nn.Module):
             g, logvar = coupling(g, mode=mode, train=train)
             logvar_sum = logvar_sum + logvar
         return g, logvar_sum
+
+
+class _PatternPeriod(nn.Module):
+    """One scanned unit of the decoder stack: a pattern-0 flow followed by
+    a pattern-1 flow (6 couplings — the repeating period of the
+    alternating warp schedule). Carry = (p, logvar_sum, g)."""
+
+    f_features: int
+    weight_std: float
+    mode: str
+    train: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        p, lv_sum, g = carry
+        warps = list(_TRIPLE_PATTERNS[0]) + list(_TRIPLE_PATTERNS[1])
+        steps = [(f"nvp{k + 1}", w) for k, w in enumerate(warps)]
+        if self.mode == "inverse":
+            steps = steps[::-1]
+        for name, warp in steps:
+            coupling = CondAffineCoupling3D(
+                warp_inds=warp, f_features=self.f_features,
+                weight_std=self.weight_std, name=name,
+            )
+            p, lv = coupling(p, g, self.mode, self.train)
+            lv_sum = lv_sum + lv
+        return (p, lv_sum, g), None
+
+
+class ScanPointDecoderFlow(nn.Module):
+    """`lax.scan`-compiled variant of PointDecoderFlow: the repeating
+    6-coupling pattern period is traced ONCE and scanned n_flows//2 times
+    (plus an unscanned trailing pattern-0 flow when n_flows is odd).
+
+    Same math and same (p_out, logvar_sum) contract as the unrolled stack
+    — see unrolled_to_scanned_params for the checkpoint layout converter.
+    Compile time drops with depth (one period trace instead of n_flows*3
+    coupling traces); runtime is within noise of the unrolled stack.
+    """
+
+    n_flows: int
+    f_features: int
+    g_features: int
+    weight_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, p, g, mode: str = "direct", train: bool = False):
+        n_pairs, tail = divmod(self.n_flows, 2)
+        lv_sum = jnp.zeros_like(p)
+
+        def run_pairs(p, lv_sum):
+            # remat the scanned body: scan otherwise saves every
+            # intermediate of every period for backward (OOM at flagship
+            # scale); with remat only the per-period carries are stored
+            Scanned = nn.scan(
+                nn.remat(_PatternPeriod),
+                variable_axes={"params": 0, "batch_stats": 0},
+                variable_broadcast=False,
+                split_rngs={"params": True},
+                length=n_pairs,
+                reverse=(mode == "inverse"),
+            )
+            period = Scanned(
+                f_features=self.f_features, weight_std=self.weight_std,
+                mode=mode, train=train, name="periods",
+            )
+            (p, lv_sum, _), _ = period((p, lv_sum, g), None)
+            return p, lv_sum
+
+        def run_tail(p, lv_sum):
+            steps = [
+                (f"tail_nvp{j + 1}", w)
+                for j, w in enumerate(_TRIPLE_PATTERNS[0])
+            ]
+            if mode == "inverse":
+                steps = steps[::-1]
+            for name, warp in steps:
+                coupling = CondAffineCoupling3D(
+                    warp_inds=warp, f_features=self.f_features,
+                    weight_std=self.weight_std, name=name,
+                )
+                p, lv = coupling(p, g, mode, train)
+                lv_sum = lv_sum + lv
+            return p, lv_sum
+
+        if mode == "direct":
+            if n_pairs:
+                p, lv_sum = run_pairs(p, lv_sum)
+            if tail:
+                p, lv_sum = run_tail(p, lv_sum)
+        elif mode == "inverse":
+            # the tail is the LAST flow, so it inverts first
+            if tail:
+                p, lv_sum = run_tail(p, lv_sum)
+            if n_pairs:
+                p, lv_sum = run_pairs(p, lv_sum)
+        else:
+            raise ValueError(f"unknown mode: {mode}")
+        return p, lv_sum
+
+
+def unrolled_to_scanned_params(tree, n_flows: int):
+    """Convert a PointDecoderFlow param/batch-stat subtree (flow{i}_nvp{j}
+    entries) into the ScanPointDecoderFlow layout (periods/* stacked over
+    the pair axis + tail_nvp*). Works on params and batch_stats alike."""
+    n_pairs, tail = divmod(n_flows, 2)
+    out = {}
+    if n_pairs:
+        stacked = {}
+        for k in range(6):
+            flow_off, j = divmod(k, 3)
+            per_pair = [
+                tree[f"flow{2 * t + flow_off}_nvp{j + 1}"]
+                for t in range(n_pairs)
+            ]
+            stacked[f"nvp{k + 1}"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs, axis=0), *per_pair
+            )
+        out["periods"] = stacked
+    if tail:
+        for j in range(3):
+            out[f"tail_nvp{j + 1}"] = tree[f"flow{n_flows - 1}_nvp{j + 1}"]
+    return out

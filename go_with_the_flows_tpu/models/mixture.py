@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .flows import LatentPriorFlow, PointDecoderFlow, point_decoder_param_count
+from .flows import (
+    LatentPriorFlow,
+    PointDecoderFlow,
+    ScanPointDecoderFlow,
+    point_decoder_param_count,
+)
 from .encoders import PointNetCloudEncoder, FeatureEncoder, WeightsEncoder
 from .resnet import ResNet18
 
@@ -112,7 +117,14 @@ class FlowMixtureModel(nn.Module):
 
     pc_enc_init_n_features: int = 64
     pc_enc_n_features: Sequence[int] = (128, 256, 512)
-    remat_couplings: bool = False  # rematerialize decoder couplings
+    remat_couplings: bool = False  # rematerialize unrolled couplings
+    # lax.scan over coupling pattern periods (with a remat'd body):
+    # measured 2.5x faster training steps and ~3x faster compiles at
+    # flagship scale, numerically identical (tests/test_scan_decoder.py).
+    # Param layout differs from the unrolled stack — convert checkpoints
+    # with flows.unrolled_to_scanned_params. Set False for the reference-
+    # shaped per-layer layout.
+    scan_couplings: bool = True
 
     def setup(self):
         G = self.g_latent_space_size
@@ -179,21 +191,24 @@ class FlowMixtureModel(nn.Module):
         self.pc_decoder_depth = depth
         self.pc_decoder_features = feats
         # K components as one vmapped decoder over a stacked param pytree.
+        decoder_cls = (
+            ScanPointDecoderFlow if self.scan_couplings else PointDecoderFlow
+        )
         VmappedDecoder = nn.vmap(
-            PointDecoderFlow,
+            decoder_cls,
             in_axes=(0, None, None, None),
             out_axes=0,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             axis_size=self.n_components,
         )
+        decoder_kwargs = dict(
+            n_flows=depth, f_features=feats, g_features=G, weight_std=0.01,
+        )
+        if not self.scan_couplings:
+            decoder_kwargs["remat"] = self.remat_couplings
         self.pc_decoder = VmappedDecoder(
-            n_flows=depth,
-            f_features=feats,
-            g_features=G,
-            weight_std=0.01,
-            remat=self.remat_couplings,
-            name="pc_decoder",
+            **decoder_kwargs, name="pc_decoder"
         )
 
         # Global mixture logits (reference flow_mixture.py:32).
