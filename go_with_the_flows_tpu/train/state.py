@@ -35,21 +35,28 @@ def create_train_state(
     import jax.numpy as jnp
 
     init_rngs = {"params": rng, "sample": jax.random.fold_in(rng, 1)}
-    kwargs = dict(mode="training")
+    # jit the init: eager init dispatches thousands of tiny ops (slow over
+    # a TPU tunnel); one compiled program initializes in seconds
     if svr:
-        variables = model.init(
+        init_fn = jax.jit(
+            lambda r, g, p, im: model.init(
+                r, g, p, images=im, mode="training"
+            )
+        )
+        variables = init_fn(
             init_rngs,
-            sample_batch["cloud"],
-            sample_batch["eval_cloud"],
-            images=sample_batch["image"],
-            **kwargs,
+            jnp.asarray(sample_batch["cloud"]),
+            jnp.asarray(sample_batch["eval_cloud"]),
+            jnp.asarray(sample_batch["image"]),
         )
     else:
-        variables = model.init(
+        init_fn = jax.jit(
+            lambda r, g, p: model.init(r, g, p, mode="training")
+        )
+        variables = init_fn(
             init_rngs,
-            sample_batch["cloud"],
-            sample_batch["eval_cloud"],
-            **kwargs,
+            jnp.asarray(sample_batch["cloud"]),
+            jnp.asarray(sample_batch["eval_cloud"]),
         )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
