@@ -70,6 +70,9 @@ def main():
     from go_with_the_flows_tpu.eval.evaluating import evaluate
 
     config = load_config(os.path.join(args.experiment_path, "config.yaml"))
+    from go_with_the_flows_tpu.ops.precision import set_matmul_precision
+
+    set_matmul_precision(config.get("matmul_precision", "highest"))
     config["logging_path"] = args.experiment_path
     config["model_name"] = args.modelname
     config["cloud_size"] = args.cloud_size

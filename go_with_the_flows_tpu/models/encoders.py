@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.precision import matmul_precision
+
 from ..ops.layers import (
     SharedDot,
     batch_norm,
@@ -65,6 +67,7 @@ class FeatureEncoder(nn.Module):
                 x.shape[-1],
                 use_bias=False,
                 kernel_init=torch_linear_kernel_init,
+                precision=matmul_precision(),
                 name=f"mlp{i}",
             )(h)
             if self.use_batch_norm:
@@ -75,6 +78,7 @@ class FeatureEncoder(nn.Module):
             self.latent_space_size,
             kernel_init=nn.initializers.normal(stddev=self.mu_weight_std),
             bias_init=nn.initializers.constant(self.mu_bias),
+            precision=matmul_precision(),
             name="mu_head",
         )(h)
         if self.deterministic:
@@ -83,6 +87,7 @@ class FeatureEncoder(nn.Module):
             self.latent_space_size,
             kernel_init=nn.initializers.normal(stddev=self.logvar_weight_std),
             bias_init=nn.initializers.constant(self.logvar_bias),
+            precision=matmul_precision(),
             name="logvar_head",
         )(h)
         return mus, logvars

@@ -42,6 +42,7 @@ from ..ops.layers import (
     torch_linear_kernel_init,
     torch_linear_bias_init,
 )
+from ..ops.precision import matmul_precision
 
 
 def _near_identity_kernel(weight_std: float):
@@ -66,6 +67,7 @@ def _dense(features, use_bias, name, in_features=None, near_identity_std=None):
         use_bias=use_bias,
         kernel_init=kernel_init,
         bias_init=bias_init,
+        precision=matmul_precision(),
         name=name,
     )
 

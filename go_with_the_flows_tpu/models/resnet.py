@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.precision import matmul_precision
+
 
 def _conv(features, kernel, stride, name):
     return nn.Conv(
@@ -28,6 +30,7 @@ def _conv(features, kernel, stride, name):
         kernel_init=nn.initializers.variance_scaling(
             2.0, "fan_out", "normal"
         ),  # torch's kaiming_normal_(mode='fan_out') (resnet.py:153-156)
+        precision=matmul_precision(),
         name=name,
     )
 
@@ -79,6 +82,6 @@ class ResNet18(nn.Module):
                     h, train=train
                 )
         h = jnp.mean(h, axis=(1, 2))  # global average pool
-        h = nn.Dense(self.num_classes, name="fc")(h)
+        h = nn.Dense(self.num_classes, precision=matmul_precision(), name="fc")(h)
         h = _bn(train, "fc_bn")(h)
         return nn.relu(h)

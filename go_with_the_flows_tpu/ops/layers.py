@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .precision import matmul_precision
+
 # torch's default nn.Linear init (kaiming_uniform with a=sqrt(5)) reduces to
 # U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for both kernel and bias. We match that
 # scale so optimization dynamics at init are statistically comparable.
@@ -62,7 +64,8 @@ class SharedDot(nn.Module):
             "kernel", self.kernel_init, (self.out_features, in_features)
         )
         y = jnp.einsum(
-            "oi,bin->bon", kernel, x, preferred_element_type=x.dtype
+            "oi,bin->bon", kernel, x, preferred_element_type=x.dtype,
+            precision=matmul_precision(),
         )
         if self.use_bias:
             bias = self.param(

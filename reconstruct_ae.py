@@ -36,6 +36,9 @@ def main():
     from go_with_the_flows_tpu.train.loops import predict
 
     config = load_config(os.path.join(args.experiment_path, "config.yaml"))
+    from go_with_the_flows_tpu.ops.precision import set_matmul_precision
+
+    set_matmul_precision(config.get("matmul_precision", "highest"))
     _, transform_val = ComposeCloudTransformation(**config)
     dataset = ShapeNetCoreDataset(
         path2data=config["path2data"],

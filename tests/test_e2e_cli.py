@@ -8,6 +8,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import yaml
 
 from go_with_the_flows_tpu.data.synthetic import write_synthetic_meshes_h5

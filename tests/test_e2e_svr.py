@@ -6,6 +6,8 @@ import subprocess
 import sys
 
 import pytest
+
+pytestmark = pytest.mark.slow
 import yaml
 
 from go_with_the_flows_tpu.data.synthetic import (

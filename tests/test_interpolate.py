@@ -1,5 +1,9 @@
 """Tests for the latent interpolation / unconditional sampling utilities."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import h5py

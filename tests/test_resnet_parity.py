@@ -17,10 +17,10 @@ try:
 except Exception:
     HAVE_TORCH = False
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not (HAVE_REF and HAVE_TORCH),
     reason="reference repo or torch unavailable",
-)
+)]
 
 if HAVE_REF:
     sys.path.insert(0, REFERENCE)

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from go_with_the_flows_tpu.models.flows import (
     PointDecoderFlow,
     ScanPointDecoderFlow,

@@ -2,6 +2,10 @@
 data-parallel step must compile, run, produce finite decreasing loss, and
 keep param/batch-stat pytrees consistent."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

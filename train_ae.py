@@ -89,6 +89,11 @@ def main():
         config_flag(args.config, "cloud_random_rotate"),
         config_path=args.config,
     )
+    from go_with_the_flows_tpu.ops.precision import set_matmul_precision
+
+    # parity-first default: fp32 matmul passes in the model stack (see
+    # ops/precision.py and the RESULTS.md on-TPU parity audit)
+    set_matmul_precision(config.get("matmul_precision", "highest"))
     config["logging"] = jax.process_index() == 0
     if config["logging"]:
         os.makedirs(config["logging_path"], exist_ok=True)

@@ -71,6 +71,9 @@ def main():
         resume=args.resume, resume_optimizer=args.resume_optimizer,
         config_path=args.config,
     )
+    from go_with_the_flows_tpu.ops.precision import set_matmul_precision
+
+    set_matmul_precision(config.get("matmul_precision", "highest"))
     config["logging"] = jax.process_index() == 0
     if config["logging"]:
         os.makedirs(config["logging_path"], exist_ok=True)
