@@ -26,11 +26,10 @@ from ..ops.emd import emd_approx
 
 
 def _pallas_eligible(n: int, m: int) -> bool:
-    """Use the fused Pallas kernels on TPU when shapes qualify
-    (equal sizes, tile-aligned M); fall back to XLA otherwise."""
-    return (
-        jax.default_backend() == "tpu" and n == m and m % 512 == 0
-    )
+    """Use the fused Pallas kernels on TPU when clouds are big enough to
+    beat dispatch overhead; the kernels pad internally so any size works
+    (incl. the SVR protocol's 2500 points). Tiny shapes stay on XLA."""
+    return jax.default_backend() == "tpu" and n == m and n >= 512
 
 
 @functools.partial(

@@ -26,20 +26,19 @@ import jax.numpy as jnp
 def pairwise_sqdists(a: jax.Array, b: jax.Array) -> jax.Array:
     """(B, N, 3) x (B, M, 3) -> (B, N, M) squared euclidean distances.
 
-    Computed via the |a|^2 + |b|^2 - 2ab expansion (MXU-friendly: the cross
-    term is a batched matmul), clamped at 0 against rounding.
+    Computed as sum_c (a_c - b_c)^2 by broadcasting — the same formulation
+    as the reference CUDA kernels (nndistance.cu / approxmatch.cu) and the
+    Pallas kernels. NOT the |a|^2 + |b|^2 - 2ab matmul expansion: with a
+    3-wide contraction the MXU would run at ~2% utilization anyway, and
+    the expansion's cancellation error (~1e-7 absolute regardless of d) is
+    amplified ~1e4x by the coldest EMD auction temperature exp(-16384*d),
+    breaking XLA<->Pallas and XLA<->reference agreement for near-identical
+    points. The diff form's error scales with d itself, which the exp
+    tolerates. XLA fuses the broadcast into the reduction (no (B,N,M,3)
+    materialization under jit).
     """
-    aa = jnp.sum(a * a, axis=-1)  # (B, N)
-    bb = jnp.sum(b * b, axis=-1)  # (B, M)
-    # precision=HIGHEST: TPU matmuls default to bf16 passes, which is far
-    # too coarse for metric parity (CD is reported at the 1e-4 scale).
-    ab = jnp.einsum(
-        "bnc,bmc->bnm", a, b,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d = aa[:, :, None] + bb[:, None, :] - 2.0 * ab
-    return jnp.maximum(d, 0.0)
+    diff = a[:, :, None, :] - b[:, None, :, :]  # (B, N, M, 3)
+    return jnp.sum(diff * diff, axis=-1)
 
 
 @jax.jit

@@ -1,7 +1,8 @@
-"""Pallas TPU kernel: fused auction/soft-assignment EMD cost.
+"""Pallas TPU kernel: fused auction/soft-assignment EMD cost,
+differentiable.
 
-The TPU-native answer to the reference's approxmatch.cu + matchcost
-kernels: the 9-temperature-level proportional assignment
+The TPU-native answer to the reference's approxmatch.cu + matchcost +
+matchcostgrad kernels: the 9-temperature-level proportional assignment
 (see ops/emd.py for the algorithm derivation) with the match matrix kept
 IMPLICIT — every (N, M) quantity is produced tile-by-tile in VMEM and
 reduced immediately, and the cost is accumulated per level, so HBM never
@@ -20,8 +21,21 @@ E tiles are recomputed from the raw points each sweep — the points are
 reductions are broadcast/VPU ops (no matvecs: with a 3-wide contraction
 the MXU would idle, and Mosaic only lowers 2-D dots).
 
-Assumes n == m multiplicity 1 (every use in the reference's eval protocol
-has equal cloud sizes; the XLA path handles n != m).
+Differentiability (reference matchcostgrad1/2, approxmatch.cu:229-291;
+autograd wrapper match_cost.py holds the match constant): the implicit
+match is fully determined by the per-level ratioL/ratioR vectors —
+match_ij = sum_l exp(level_l * D_ij) * ratioL_i^l * ratioR_j^l — so the
+forward stores just those O(9*(N+M)) residuals and the backward kernel
+recomputes E tiles to accumulate
+  dA_i = g * sum_j match_ij * (a_i - b_j) / ||a_i - b_j||     (and sym.)
+without ever materializing the match.
+
+Shape generality: clouds are zero-padded to a common tile-aligned size
+with ZERO-CAPACITY pads (remainL/remainR start at 0 on pad rows/cols), so
+pads never give or receive mass and the auction arithmetic over the real
+points is unchanged — this admits the SVR protocol's 2500-point clouds
+(scripts/run_evaluate_svr.sh) and n != m via the reference's integer
+multiplicities (approxmatch.cu:4-12).
 """
 
 from __future__ import annotations
@@ -34,36 +48,69 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TILE_M = 256  # three (N, T) f32 tiles live in sweep 3; 256 keeps them under the 16MB scoped VMEM limit
+_TILE_BWD = 128  # backward holds d/e/w/coeff tiles at once -> narrower tile
 _N_LEVELS = 9  # level = -4^j, j = 7..-1 (approxmatch.cu:24-28)
 
 
-def _emd_kernel(a_ref, b_ref, cost_ref,
-                remain_l, remain_r, ratio_l, ratio_r):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _capacities(n: int, m: int):
+    """Integer multiplicities for n != m (approxmatch.cu:4-12)."""
+    if n >= m:
+        return 1.0, float(n // m)
+    return float(m // n), 1.0
+
+
+def _dist_tile(a, b_ref, t, tile=_TILE_M):
+    bt = b_ref[0, pl.ds(t * tile, tile), :]  # (T, 3)
+    d = jnp.zeros((a.shape[0], tile), jnp.float32)
+    for c in range(3):
+        diff = a[:, c:c + 1] - bt[:, c][None, :]
+        d = d + diff * diff
+    return d
+
+
+def _init_capacity(size: int, real: int, multi: float, row: bool):
+    """Capacity vector with zeros on pad entries."""
+    if row:
+        ids = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+    else:
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+    return jnp.where(ids < real, jnp.float32(multi), 0.0)
+
+
+def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
+                a_ref, b_ref, *refs):
+    if save_ratios:
+        cost_ref, rl_ref, rr_ref = refs[:3]
+        scratch = refs[3:]
+    else:
+        cost_ref = refs[0]
+        scratch = refs[1:]
+    remain_l, remain_r, ratio_l, ratio_r = scratch
     # scratch layouts: remain_l/ratio_l (N, 1); remain_r/ratio_r (1, M)
     a = a_ref[0]  # (N, 3)
     n = a.shape[0]
     m = b_ref.shape[1]
     n_tiles = m // _TILE_M
 
-    remain_l[:] = jnp.ones((n, 1), jnp.float32)
-    remain_r[:] = jnp.ones((1, m), jnp.float32)
+    remain_l[:] = _init_capacity(n, n_real, multi_l, row=True)
+    remain_r[:] = _init_capacity(m, m_real, multi_r, row=False)
 
-    def dist_tile(t):
-        bt = b_ref[0, pl.ds(t * _TILE_M, _TILE_M), :]  # (T, 3)
-        d = jnp.zeros((n, _TILE_M), jnp.float32)
-        for c in range(3):
-            diff = a[:, c:c + 1] - bt[:, c][None, :]
-            d = d + diff * diff
-        return d
-
-    def level_body(j, cost):
-        # 4^(7-j) via exp (Mosaic cannot legalize math.powf); the <=1e-6
-        # relative rounding on the temperature is immaterial
-        level = -jnp.exp(1.3862943611198906 * (7.0 - j.astype(jnp.float32)))
+    def level_body(j, level, cost):
+        # The temperature must be bit-exact 4^(7-j): with |level|*d ~ 1e4
+        # even 1e-6 relative temperature error is amplified to ~1% in
+        # exp(level*d), breaking forward/backward residual consistency
+        # and XLA agreement. Non-residual runs carry it as a scalar
+        # (level *= 0.25 is exact) through a fori_loop; residual runs
+        # statically unroll the 9 levels (the residual stores need a
+        # static sublane index — Mosaic rejects dynamic ones).
 
         # sweep 1: row kernel sums -> ratioL
         def s1(t, suml):
-            e = jnp.exp(level * dist_tile(t))  # (N, T)
+            e = jnp.exp(level * _dist_tile(a, b_ref, t))  # (N, T)
             r = remain_r[:, pl.ds(t * _TILE_M, _TILE_M)]  # (1, T)
             return suml + jnp.sum(e * r, axis=1, keepdims=True)
 
@@ -71,6 +118,8 @@ def _emd_kernel(a_ref, b_ref, cost_ref,
             0, n_tiles, s1, jnp.full((n, 1), 1e-9, jnp.float32)
         )
         ratio_l[:] = remain_l[:] / suml
+        if save_ratios:
+            rl_ref[0, j, :] = ratio_l[:, 0]
 
         # merged sweeps 2+3: ratioR for a tile is final as soon as its
         # column sum exists (it only depends on the completed ratioL), so
@@ -78,7 +127,7 @@ def _emd_kernel(a_ref, b_ref, cost_ref,
         # evaluation instead of two per tile.
         def s23(t, carry):
             cost_acc, row_sum = carry
-            d = dist_tile(t)
+            d = _dist_tile(a, b_ref, t)
             e = jnp.exp(level * d)  # (N, T)
             col = jnp.sum(e * ratio_l[:], axis=0, keepdims=True)  # (1, T)
             sl = pl.ds(t * _TILE_M, _TILE_M)
@@ -101,38 +150,208 @@ def _emd_kernel(a_ref, b_ref, cost_ref,
             (jnp.float32(0.0), jnp.zeros((n, 1), jnp.float32)),
         )
         remain_l[:] = jnp.maximum(0.0, remain_l[:] - row_sum)
+        if save_ratios:
+            rr_ref[0, j, :] = ratio_r[0]
         return cost + cost_l
 
-    cost = jax.lax.fori_loop(0, _N_LEVELS, level_body, jnp.float32(0.0))
+    if save_ratios:
+        cost = jnp.float32(0.0)
+        for j in range(_N_LEVELS):
+            cost = level_body(j, -(4.0 ** (7 - j)), cost)
+    else:
+        def loop_step(j, carry):
+            cost, level = carry
+            return level_body(j, level, cost), level * 0.25
+
+        cost, _ = jax.lax.fori_loop(
+            0, _N_LEVELS, loop_step,
+            (jnp.float32(0.0), jnp.float32(-(4.0 ** 7))),
+        )
     cost_ref[0, 0, 0] = cost
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def emd_cost_pallas(a: jax.Array, b: jax.Array, interpret: bool = False):
-    """Approximate-EMD match cost (B,) for equal-size clouds (B,N,3)."""
+def _pad_cloud(x, target: int):
+    B, N, _ = x.shape
+    if target == N:
+        return x
+    # pad coordinate value is irrelevant: pads carry zero capacity
+    return jnp.concatenate(
+        [x, jnp.zeros((B, target - N, 3), x.dtype)], axis=1
+    )
+
+
+def _emd_pallas_call(a, b, save_ratios: bool, interpret: bool):
     B, N, _ = a.shape
     M = b.shape[1]
-    assert N == M, "emd_cost_pallas requires equal cloud sizes"
-    assert M % _TILE_M == 0, f"M={M} must be a multiple of {_TILE_M}"
+    P = _round_up(max(N, M), _TILE_M)
+    multi_l, multi_r = _capacities(N, M)
+    a = _pad_cloud(a.astype(jnp.float32), P)
+    b = _pad_cloud(b.astype(jnp.float32), P)
 
-    cost = pl.pallas_call(
-        _emd_kernel,
+    out_shape = [jax.ShapeDtypeStruct((B, 1, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.SMEM)]
+    if save_ratios:
+        for _ in range(2):
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, _N_LEVELS, P), jnp.float32)
+            )
+            out_specs.append(
+                pl.BlockSpec((1, _N_LEVELS, P), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _emd_kernel, N, M, multi_l, multi_r, save_ratios
+        ),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, N, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((N, 1), jnp.float32),  # remainL
-            pltpu.VMEM((1, M), jnp.float32),  # remainR
-            pltpu.VMEM((N, 1), jnp.float32),  # ratioL
-            pltpu.VMEM((1, M), jnp.float32),  # ratioR
+            pltpu.VMEM((P, 1), jnp.float32),  # remainL
+            pltpu.VMEM((1, P), jnp.float32),  # remainR
+            pltpu.VMEM((P, 1), jnp.float32),  # ratioL
+            pltpu.VMEM((1, P), jnp.float32),  # ratioR
         ],
         interpret=interpret,
-    )(a.astype(jnp.float32), b.astype(jnp.float32))
-    return cost[:, 0, 0]
+    )(a, b)
+    if save_ratios:
+        cost, rl, rr = out
+        return cost[:, 0, 0], rl, rr
+    return out[0][:, 0, 0]
+
+
+def _emd_bwd_kernel(a_ref, b_ref, rl_ref, rr_ref, da_ref, db_ref, rl_col):
+    """Accumulate cost gradients wrt both clouds from the stored per-level
+    ratio residuals (the MatchCostGrad analog, approxmatch.cu:229-291).
+
+    The gradient is LINEAR in the per-level match contributions
+    (coeff = sum_l E^l * ratioL_l (x) ratioR_l / dist), so levels form the
+    OUTER loop — statically unrolled, keeping every residual index static
+    (Mosaic rejects dynamic sublane indices) and only one E tile live at
+    a time (a static per-tile level unroll overflows scoped VMEM).
+    ratioL's (1, N) row is transposed into a (N, 1) scratch column once
+    per level, outside the tile loop.
+    """
+    a = a_ref[0]  # (P, 3)
+    n = a.shape[0]
+    n_tiles = n // _TILE_BWD
+
+    def level_tile_body(level, l, t, da):
+        d = _dist_tile(a, b_ref, t, _TILE_BWD)  # (N, T)
+        bt = b_ref[0, pl.ds(t * _TILE_BWD, _TILE_BWD), :]
+        sl = pl.ds(t * _TILE_BWD, _TILE_BWD)
+        e = jnp.exp(level * d)
+        w = e * rl_col[:] * rr_ref[0, l:l + 1, sl]  # (N, T)
+        # d cost / d a_c = sum_j w * (a_c - b_c) / ||a - b||; the XLA path
+        # differentiates sqrt(max(d, 1e-12)) so clamped entries get zero
+        coeff = jnp.where(
+            d > 1e-12, w * jax.lax.rsqrt(jnp.maximum(d, 1e-12)), 0.0
+        )
+        row_sum = jnp.sum(coeff, axis=1, keepdims=True)  # (N, 1)
+        col_sum = jnp.sum(coeff, axis=0, keepdims=True)  # (1, T)
+        da_next = []
+        for c in range(3):
+            cross_a = jnp.sum(
+                coeff * bt[:, c][None, :], axis=1, keepdims=True
+            )  # (N, 1)
+            cross_b = jnp.sum(
+                coeff * a[:, c:c + 1], axis=0, keepdims=True
+            )  # (1, T)
+            # per-coordinate (N, 1) accumulators: Mosaic has no in-kernel
+            # scatter-add, so the 3-wide axis is carried as a tuple
+            da_next.append(da[c] + a[:, c:c + 1] * row_sum - cross_a)
+            db_contrib = (bt[:, c][None, :] * col_sum - cross_b)[0]
+            if l == 0:
+                db_ref[0, sl, c] = db_contrib
+            else:
+                db_ref[0, sl, c] = db_ref[0, sl, c] + db_contrib
+        return tuple(da_next)
+
+    da = tuple(jnp.zeros((n, 1), jnp.float32) for _ in range(3))
+    for l in range(_N_LEVELS):  # static unroll: 9 levels
+        rl_col[:] = rl_ref[0, l:l + 1, :].T  # (N, 1) column for this level
+        da = jax.lax.fori_loop(
+            0, n_tiles,
+            functools.partial(level_tile_body, -(4.0 ** (7 - l)), l),
+            da,
+        )
+    da_ref[0] = jnp.concatenate(da, axis=1)
+
+
+def _emd_backward(a, b, rl, rr, interpret: bool):
+    B, N, _ = a.shape
+    M = b.shape[1]
+    P = rl.shape[2]
+    a = _pad_cloud(a.astype(jnp.float32), P)
+    b = _pad_cloud(b.astype(jnp.float32), P)
+
+    da, db = pl.pallas_call(
+        _emd_bwd_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _N_LEVELS, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _N_LEVELS, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, 3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),  # per-level ratioL column
+        ],
+        interpret=interpret,
+    )(a, b, rl, rr)
+    return da[:, :N], db[:, :M]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_emd(interpret: bool):
+    @jax.custom_vjp
+    def f(a, b):
+        return _emd_pallas_call(a, b, save_ratios=False,
+                                interpret=interpret)
+
+    def fwd(a, b):
+        cost, rl, rr = _emd_pallas_call(a, b, save_ratios=True,
+                                        interpret=interpret)
+        return cost, (a, b, rl, rr)
+
+    def bwd(res, g):
+        a, b, rl, rr = res
+        da, db = _emd_backward(a, b, rl, rr, interpret)
+        return g[:, None, None] * da, g[:, None, None] * db
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def emd_cost_pallas(a: jax.Array, b: jax.Array, interpret: bool = False):
+    """Approximate-EMD match cost (B,) for clouds (B,N,3) / (B,M,3).
+
+    Any N/M (zero-capacity padding to a common tile-aligned size; n != m
+    handled via the reference's integer multiplicities). Differentiable
+    with the match held constant (reference match_cost.py semantics):
+    gradients match the XLA `ops.emd.match_cost` path with O(9*(N+M))
+    residual memory instead of the (B,N,M) match matrix.
+    """
+    return _make_diff_emd(interpret)(a, b)
