@@ -7,7 +7,24 @@ AND evaluate each against a reference batch (bidirectional Chamfer), all
 in one jitted program on the current default device.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "clouds/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "clouds/sec/chip",
+   "vs_baseline": N, ...}
+with FLOPs/MFU accounting fields:
+  - model_tflops_per_cloud: XLA cost-analysis FLOPs of the sampling
+    program (prior flow + K decoder flow stacks + encoder-free generate
+    path), per cloud;
+  - chamfer_tflops_per_cloud: analytic FLOPs of the fused Pallas Chamfer
+    (8 * N * M per pair: 3 sub + 3 mul + 2 add for the squared distance,
+    min folded into the reduction — the Pallas custom call is invisible
+    to XLA's cost analysis, so it is accounted analytically);
+  - sustained_tflops: (model + chamfer) FLOPs / measured second;
+  - mfu: sustained_tflops / chip peak (bf16 peak from the device-kind
+    table below — conservative: the model's matmuls run fp32-HIGHEST,
+    whose achievable peak is ~1/3 of bf16);
+  - sample_frac: fraction of step time in sampling (vs Chamfer eval),
+    measured with a sample-only program;
+  - emd_clouds_per_sec: the sample + CD + EMD variant (9-level auction
+    EMD is ~35x the Chamfer arithmetic, so this is the expensive eval).
 
 vs_baseline is the speedup over the CPU baseline measured on the dev box
 (1-core CPU, same program, see CPU_BASELINE_CLOUDS_PER_SEC provenance);
@@ -59,6 +76,37 @@ FLAGSHIP = dict(
 B = 1024
 N = 2048
 
+# Per-chip peak dense-matmul FLOP/s (bf16), by device kind.
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for key, peak in PEAK_FLOPS.items():
+        if kind.startswith(key):
+            return peak
+    return 197e12  # default: v5e-class
+
+
+def _xla_flops(jitted, *args) -> float:
+    """FLOPs of one execution from XLA's cost analysis (0 if unknown).
+    Pallas custom calls are NOT included — account those analytically."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def main(measure_only: bool = False):
     on_tpu = jax.default_backend() == "tpu"
@@ -71,44 +119,108 @@ def main(measure_only: bool = False):
     )
     ref = jax.random.normal(jax.random.PRNGKey(1), (batch, N, 3)) * 0.2
 
-    @jax.jit
-    def sample_and_eval(params, batch_stats, key, ref_clouds):
+    def sample(params, batch_stats, key):
         _, samples, labels, _ = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g_in, mode="generating", n_sampled_points=N,
             rngs={"sample": key},
         )
+        return samples, labels
+
+    @jax.jit
+    def sample_only(params, batch_stats, key):
+        return sample(params, batch_stats, key)
+
+    @jax.jit
+    def sample_and_eval(params, batch_stats, key, ref_clouds):
+        samples, labels = sample(params, batch_stats, key)
         gen = jnp.transpose(samples, (0, 2, 1))  # (B, N, 3)
         cd_fn = chamfer_pallas if on_tpu else chamfer
         dl, dr = cd_fn(gen, ref_clouds)
         cd = jnp.mean(dl, axis=1) + jnp.mean(dr, axis=1)
         return samples, labels, cd
 
+    @jax.jit
+    def sample_and_eval_emd(params, batch_stats, key, ref_clouds):
+        from go_with_the_flows_tpu.ops.emd import match_cost
+        from go_with_the_flows_tpu.ops.pallas.emd_kernel import (
+            emd_cost_pallas,
+        )
+
+        samples, labels, cd = sample_and_eval(
+            params, batch_stats, key, ref_clouds
+        )
+        gen = jnp.transpose(samples, (0, 2, 1))
+        emd_fn = emd_cost_pallas if on_tpu else match_cost
+        emd = emd_fn(gen, ref_clouds) / N
+        return samples, labels, cd, emd
+
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    # warmup / compile
-    out = sample_and_eval(params, batch_stats, jax.random.PRNGKey(2), ref)
-    jax.block_until_ready(out)
-
     n_iters = 3 if jax.default_backend() == "cpu" else 20
-    start = time.perf_counter()
-    for i in range(n_iters):
-        out = sample_and_eval(
-            params, batch_stats, jax.random.PRNGKey(3 + i), ref
-        )
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
 
-    clouds_per_sec = batch * n_iters / elapsed
+    def timed(fn, *args):
+        """Honest device-side timing.
+
+        1. The iteration loop runs INSIDE one jitted program (fori_loop;
+           all outputs are reduced into a carried checksum so no
+           iteration can be DCE'd/CSE'd — keys differ per iteration):
+           per-dispatch wall timing over a tunneled chip measures
+           transport, not compute.
+        2. The sync is a device->host FETCH of the checksum (float()),
+           not block_until_ready — the tunneled runtime's ready-event can
+           resolve before execution, which inflated the round-1 number;
+           a transferred value cannot exist before the compute does.
+        """
+
+        @jax.jit
+        def run(params, batch_stats, key, *args):
+            def body(i, acc):
+                out = fn(params, batch_stats, jax.random.fold_in(key, i),
+                         *args)
+                return acc + sum(
+                    jnp.sum(o).astype(jnp.float32)
+                    for o in jax.tree.leaves(out)
+                )
+
+            return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+        float(run(params, batch_stats, jax.random.PRNGKey(2), *args))
+        start = time.perf_counter()
+        float(run(params, batch_stats, jax.random.PRNGKey(3), *args))
+        return batch * n_iters / (time.perf_counter() - start)
+
+    clouds_per_sec = timed(sample_and_eval, ref)
     if measure_only:
         print(f"# measured {clouds_per_sec:.3f} clouds/sec on "
               f"{jax.default_backend()}")
         return
+    sample_per_sec = timed(sample_only)
+    emd_per_sec = timed(sample_and_eval_emd, ref)
+
+    # FLOPs accounting (see module docstring)
+    model_flops = _xla_flops(
+        sample_only, params, batch_stats, jax.random.PRNGKey(2)
+    ) / batch
+    chamfer_flops = 8.0 * N * N  # per cloud pair, analytic
+    per_cloud = model_flops + chamfer_flops
+    sustained = per_cloud * clouds_per_sec
+    peak = _chip_peak_flops()
+
     print(json.dumps({
-        "metric": "2048-pt clouds/sec/chip (sample + eval)",
+        "metric": "2048-pt clouds/sec/chip (sample + CD eval)",
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / CPU_BASELINE_CLOUDS_PER_SEC, 2),
+        "emd_clouds_per_sec": round(emd_per_sec, 2),
+        "sample_only_clouds_per_sec": round(sample_per_sec, 2),
+        "sample_frac": round(clouds_per_sec / max(sample_per_sec, 1e-9), 4),
+        "model_tflops_per_cloud": round(model_flops / 1e12, 6),
+        "chamfer_tflops_per_cloud": round(chamfer_flops / 1e12, 6),
+        "sustained_tflops": round(sustained / 1e12, 2),
+        "chip_peak_bf16_tflops": round(peak / 1e12, 1),
+        "mfu": round(sustained / peak, 4),
+        "device_kind": jax.devices()[0].device_kind,
     }))
 
 

@@ -114,10 +114,13 @@ def main():
         dataset = ShapeNetCoreDataset(
             part=args.part, cloud_transform=transform_val, **common
         )
+    import jax
+
     loader = DataLoader(
         dataset, batch_size=args.batch_size, shuffle=False,
         drop_last=False,  # the eval protocol covers the full split
         num_workers=config.get("num_workers", 0),
+        num_replicas=jax.process_count(), rank=jax.process_index(),
     )
     print(f"Dataset init: done ({len(dataset)} items).")
 
@@ -147,25 +150,32 @@ def main():
     )
     rng = jax.random.PRNGKey(args.seed + 1)
 
-    if args.mode in ("autoencoding", "reconstruction"):
-        evaluate(loader, sample_step, state, rng, svr=svr, **config)
-    elif args.mode == "generating":
-        results = []
-        for rep in range(args.reps):
-            res = evaluate(
-                loader, sample_step, state,
-                jax.random.fold_in(rng, rep), svr=svr, **config,
-            )
-            results.append(res)
-        agg = {}
-        for key in results[0]:
-            vals = np.array([r[key] for r in results])
-            agg[key] = f"{vals.mean():.2f} ± {vals.std():.2f}"
-        print("==== mean ± std over", args.reps, "reps ====")
-        for k, v in agg.items():
-            print(f"{k}: {v}")
-    else:
-        raise ValueError(f"Unknown mode {args.mode}")
+    from go_with_the_flows_tpu.parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    with jax.set_mesh(mesh):
+        if args.mode in ("autoencoding", "reconstruction"):
+            evaluate(loader, sample_step, state, rng, svr=svr, mesh=mesh,
+                     **config)
+        elif args.mode == "generating":
+            results = []
+            for rep in range(args.reps):
+                res = evaluate(
+                    loader, sample_step, state,
+                    jax.random.fold_in(rng, rep), svr=svr, mesh=mesh,
+                    **config,
+                )
+                results.append(res)
+            agg = {}
+            for key in results[0]:
+                vals = np.array([r[key] for r in results])
+                agg[key] = f"{vals.mean():.2f} ± {vals.std():.2f}"
+            print("==== mean ± std over", args.reps, "reps ====")
+            for k, v in agg.items():
+                print(f"{k}: {v}")
+        else:
+            raise ValueError(f"Unknown mode {args.mode}")
 
 
 if __name__ == "__main__":

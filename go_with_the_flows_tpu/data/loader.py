@@ -15,9 +15,13 @@ reference's SWMR-per-worker pattern, datasets.py:75-76).
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from typing import Iterator, Optional
 
 import numpy as np
+
+_END = object()  # sentinel: producer finished
 
 _WORKER_DATASET = None
 
@@ -56,6 +60,7 @@ class DataLoader:
         rank: int = 0,
         seed: int = 0,
         image_nhwc: bool = True,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -66,6 +71,12 @@ class DataLoader:
         self.rank = rank
         self.seed = seed
         self.image_nhwc = image_nhwc
+        # prefetch > 0: assemble up to `prefetch` batches ahead on a
+        # background thread (torch DataLoader's worker-prefetch analog,
+        # reference train_ae.py:100-116) so host-side surface sampling
+        # overlaps the in-flight device step instead of sitting on the
+        # critical path. 0 = synchronous.
+        self.prefetch = prefetch
         self.epoch = 0
         self._pool = None
 
@@ -109,25 +120,64 @@ class DataLoader:
             )
         return self._pool
 
+    def _assemble(self, chunk) -> dict:
+        pool = self._get_pool()
+        samples = None
+        if pool is not None:
+            # thread the epoch through: forked workers hold a snapshot
+            # of the dataset, so set_epoch must travel with each job
+            samples = pool.map(
+                _worker_get, [(self.epoch, i) for i in chunk]
+            )
+        elif hasattr(self.dataset, "get_batch"):
+            # native multithreaded batch sampling fast path
+            samples = self.dataset.get_batch(chunk)
+        if samples is None:
+            samples = [self.dataset[int(i)] for i in chunk]
+        return _collate(samples, self.image_nhwc)
+
     def __iter__(self) -> Iterator[dict]:
         idx = self._indices()
         n_batches = len(self)
-        pool = self._get_pool()
-        for b in range(n_batches):
-            chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = None
-            if pool is not None:
-                # thread the epoch through: forked workers hold a snapshot
-                # of the dataset, so set_epoch must travel with each job
-                samples = pool.map(
-                    _worker_get, [(self.epoch, i) for i in chunk]
-                )
-            elif hasattr(self.dataset, "get_batch"):
-                # native multithreaded batch sampling fast path
-                samples = self.dataset.get_batch(chunk)
-            if samples is None:
-                samples = [self.dataset[int(i)] for i in chunk]
-            yield _collate(samples, self.image_nhwc)
+        chunks = [
+            idx[b * self.batch_size:(b + 1) * self.batch_size]
+            for b in range(n_batches)
+        ]
+        if self.prefetch <= 0:
+            for chunk in chunks:
+                yield self._assemble(chunk)
+            return
+
+        # double-buffered background assembly: the bounded queue holds up
+        # to `prefetch` ready batches; the producer blocks when ahead
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(chunk))
+                q.put(_END)
+            except BaseException as e:  # surfaced in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer stuck on put()
+                q.get_nowait()
+            t.join(timeout=5.0)
 
     def close(self):
         if self._pool is not None:

@@ -80,12 +80,22 @@ def evaluate(
     state,
     rng: jax.Array,
     svr: bool = False,
+    mesh=None,
     **kwargs,
 ):
     """Run one evaluation pass; returns the metric dict (or meter list for
-    reconstruction), mirroring the reference's printed protocol."""
+    reconstruction), mirroring the reference's printed protocol.
+
+    Multi-host: with `mesh`, each process's loader shard is assembled
+    into a global batch-sharded array, sampling runs as one SPMD program,
+    and samples + ground truth are allgathered so every process computes
+    the metrics over the FULL evaluation set and returns bit-identical
+    numbers (the reference evals per-rank shards, training.py:103-183);
+    h5 dumps are written by process 0 only."""
+    from ..parallel.mesh import place_batch, gather_global, gather_batch
+
     util_mode = kwargs.get("util_mode")
-    is_saving = kwargs.get("saving", False)
+    is_saving = kwargs.get("saving", False) and jax.process_index() == 0
     n_points = kwargs.get("sampled_cloud_size")
 
     clouds_file = None
@@ -129,19 +139,22 @@ def evaluate(
 
     write_pos = 0
     for i, batch in enumerate(loader):
-        g_clouds = jnp.asarray(batch["cloud"])
-        p_clouds = np.asarray(batch["eval_cloud"])
-        bsz = g_clouds.shape[0]
+        dev = place_batch(mesh, batch)
+        g_clouds = dev["cloud"]
 
         inf_start = time()
         key = jax.random.fold_in(rng, i)
         if svr:
             samples, labels, _ = sample_step(
-                state, g_clouds, key, images=jnp.asarray(batch["image"])
+                state, g_clouds, key, images=dev["image"]
             )
         else:
             samples, labels, _ = sample_step(state, g_clouds, key)
-        samples = np.asarray(jax.block_until_ready(samples))
+        samples = gather_global(jax.block_until_ready(samples))
+        labels = gather_global(labels)
+        batch = gather_batch(batch)  # global batch on every host
+        p_clouds = np.asarray(batch["eval_cloud"])
+        bsz = samples.shape[0]
         inf_time.update((time() - inf_start) / bsz, bsz)
 
         r_clouds, p_clouds = _denormalize(

@@ -90,6 +90,98 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+_uneven_batch_warned = False
+
+
+def place_batch(mesh: Optional[Mesh], batch, shard_points: bool = False):
+    """Place a host batch on the mesh with explicit sharding semantics.
+
+    * batch divisible by the data axis -> batch-sharded global arrays
+      (multi-host safe via make_array_from_process_local_data);
+    * not divisible, single process -> replicated placement with a loud
+      one-time warning (tiny smoke runs only — data parallelism is lost);
+    * not divisible, multi process -> error: a global batch cannot even be
+      assembled, and silently losing parallelism in a real distributed
+      run is the failure mode the reference's DistributedSampler padding
+      exists to prevent (train_ae.py:77-78, 100-103).
+    """
+    import warnings
+
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    data_size = mesh.shape.get("data", 1)
+    n_proc = jax.process_count()
+    local_shards = max(data_size // max(n_proc, 1), 1)
+    bsz = next(iter(batch.values())).shape[0]
+    if bsz % local_shards == 0:
+        return shard_batch(mesh, batch, shard_points=shard_points)
+    if n_proc > 1:
+        raise ValueError(
+            f"per-process batch {bsz} not divisible by the process's "
+            f"{local_shards} shards of the 'data' axis (size {data_size}, "
+            f"{n_proc} processes) — adjust batch size"
+        )
+    global _uneven_batch_warned
+    if not _uneven_batch_warned:
+        _uneven_batch_warned = True
+        warnings.warn(
+            f"batch size {bsz} not divisible by data-axis size "
+            f"{data_size}: placing batches REPLICATED (no data "
+            "parallelism). Fine for smoke tests; fix the batch size for "
+            "real runs."
+        )
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def gather_global(x):
+    """Fetch a (possibly multi-host, batch-sharded) array fully to every
+    host as numpy — the device->host edge of eval/reconstruct paths.
+
+    Single process: plain device_get. Multi process: concatenate the
+    process's addressable shards (contiguous in the global batch for the
+    process-major device order of make_mesh) and allgather across
+    processes, so every host sees the identical full buffer — the
+    reference instead evals only each rank's shard (training.py:103-183).
+    """
+    if jax.process_count() <= 1:
+        return np.asarray(x)
+    if not hasattr(x, "addressable_shards"):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    shards = sorted(
+        x.addressable_shards,
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    seen = set()
+    parts = []
+    for s in shards:
+        start = (s.index[0].start or 0) if s.index else 0
+        if start in seen:  # replicated over a non-data axis
+            continue
+        seen.add(start)
+        parts.append(np.asarray(s.data))
+    local = np.concatenate(parts, axis=0)
+    return np.asarray(multihost_utils.process_allgather(local, tiled=True))
+
+
+def gather_batch(batch):
+    """gather_global over a dict of host-local numpy arrays: returns the
+    global batch (concatenated over processes) on every host."""
+    if jax.process_count() <= 1:
+        return {k: np.asarray(v) for k, v in batch.items()}
+    from jax.experimental import multihost_utils
+
+    return {
+        k: np.asarray(
+            multihost_utils.process_allgather(np.asarray(v), tiled=True)
+        )
+        for k, v in batch.items()
+    }
+
+
 def shard_batch(mesh: Mesh, batch, shard_points: bool = False):
     """Device-put a host batch dict of (B, ...) arrays with the batch axis
     sharded over 'data' (and, optionally, the trailing point axis over

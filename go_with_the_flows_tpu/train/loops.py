@@ -73,16 +73,10 @@ def train(
     data_time = AverageMeter()
     meters = {k: AverageMeter() for k in ("loss", "pnll", "gnll", "gent")}
 
-    def put(batch):
-        if mesh is not None:
-            data_size = mesh.shape.get("data", 1)
-            if batch["cloud"].shape[0] % max(data_size, 1) == 0:
-                from ..parallel.mesh import shard_batch
+    from ..parallel.mesh import place_batch
 
-                return shard_batch(mesh, batch)
-            # batch not divisible by the data axis (tiny smoke runs):
-            # fall back to replicated placement
-        return {k: jnp.asarray(v) for k, v in batch.items()}
+    def put(batch):
+        return place_batch(mesh, batch)
 
     def consume(metrics, bsz, it):
         m = _fetch(metrics)
@@ -156,23 +150,31 @@ def evaluate_val(
     writer=None,
     svr: bool = False,
     reconstruct_fn: Optional[Callable] = None,
+    mesh=None,
     **config,
 ) -> float:
     """Validation epoch: training-path loss with BN in inference mode +
-    best-model checkpoint. Returns the updated min_loss."""
+    best-model checkpoint. Returns the updated min_loss.
+
+    With `mesh`, each batch is placed as a global batch-sharded array, so
+    the per-batch loss — and therefore min_loss and the best-model
+    decision — is computed over the GLOBAL batch and is bit-identical on
+    every process (the reference's per-rank eval can diverge in its
+    best-model choice, train_ae.py:163-167)."""
+    from ..parallel.mesh import place_batch
+
     logging = config.get("logging", False)
     logging_path = config.get("logging_path", ".")
     model_name = config.get("model_name", "model.ckpt")
     meters = {k: AverageMeter() for k in ("loss", "pnll", "gnll", "gent")}
 
     for i, batch in enumerate(loader):
-        g = jnp.asarray(batch["cloud"])
-        p = jnp.asarray(batch["eval_cloud"])
+        dev = place_batch(mesh, batch)
+        g, p = dev["cloud"], dev["eval_cloud"]
         key = jax.random.fold_in(rng, i)  # fresh noise per batch
         if svr:
             metrics = eval_step(
-                state, g, p, key, images=jnp.asarray(batch["image"]),
-                warmup=warmup,
+                state, g, p, key, images=dev["image"], warmup=warmup,
             )
         else:
             metrics = eval_step(state, g, p, key, warmup=warmup)
@@ -219,25 +221,30 @@ def reconstruct(
     rng: jax.Array,
     max_batches: Optional[int] = None,
     svr: bool = False,
+    mesh=None,
 ):
     """Labeled autoencoding/SVR reconstruction over a dataset
     (training.py:334-376) — batched, no per-shape unrolling needed thanks
-    to the static mixture sampling."""
+    to the static mixture sampling. With `mesh`, batches are globally
+    sharded and the outputs allgathered, so every process returns the
+    identical full buffers."""
+    from ..parallel.mesh import place_batch, gather_global, gather_batch
+
     all_samples, all_gts, all_labels = [], [], []
     for b, batch in enumerate(loader):
         if max_batches is not None and b >= max_batches:
             break
-        g = jnp.asarray(batch["cloud"])
+        dev = place_batch(mesh, batch)
         key = jax.random.fold_in(rng, b)
         if svr:
             samples, labels, _ = sample_step(
-                state, g, key, images=jnp.asarray(batch["image"])
+                state, dev["cloud"], key, images=dev["image"]
             )
         else:
-            samples, labels, _ = sample_step(state, g, key)
-        all_samples.append(np.asarray(samples))
-        all_gts.append(np.asarray(batch["cloud"]))
-        all_labels.append(np.asarray(labels))
+            samples, labels, _ = sample_step(state, dev["cloud"], key)
+        all_samples.append(gather_global(samples))
+        all_gts.append(gather_batch(batch)["cloud"])
+        all_labels.append(gather_global(labels))
     return (
         np.concatenate(all_samples),
         np.concatenate(all_gts),
@@ -252,12 +259,15 @@ def predict(
     rng: jax.Array,
     out_dir: str,
     svr: bool = False,
+    mesh=None,
 ):
     """Reconstruct the whole loader and dump npy files
-    (training.py:379-390)."""
+    (training.py:379-390); multi-host safe (rank-0 writes)."""
     samples, gts, labels = reconstruct(
-        loader, sample_step, state, rng, svr=svr
+        loader, sample_step, state, rng, svr=svr, mesh=mesh
     )
+    if jax.process_index() != 0:
+        return samples, gts, labels
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "all_samples.npy"), samples)
     np.save(os.path.join(out_dir, "all_gts.npy"), gts)

@@ -50,8 +50,12 @@ def main():
         chosen_label=config.get("chosen_label"),
         base_seed=args.seed,
     )
+    import jax
+
     loader = DataLoader(dataset, batch_size=args.batch_size,
-                        shuffle=False, drop_last=False)
+                        shuffle=False, drop_last=False,
+                        num_replicas=jax.process_count(),
+                        rank=jax.process_index())
 
     model = FlowMixtureModel(**model_config_kwargs(config))
     optimizer = make_optimizer(epoch_length=max(len(loader), 1), **config)
@@ -67,10 +71,15 @@ def main():
     sample_step = make_sample_step(
         model, n_sampled_points=config["cloud_size"], mode="autoencoding"
     )
-    predict(
-        loader, sample_step, state, jax.random.PRNGKey(args.seed + 1),
-        out_dir=args.experiment_path,
-    )
+    from go_with_the_flows_tpu.parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    with jax.set_mesh(mesh):
+        predict(
+            loader, sample_step, state, jax.random.PRNGKey(args.seed + 1),
+            out_dir=args.experiment_path, mesh=mesh,
+        )
     print("Saved all_samples.npy / all_gts.npy / all_labels.npy to",
           args.experiment_path)
 

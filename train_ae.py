@@ -186,6 +186,7 @@ def main():
         return loops.reconstruct(
             val_loader, ae_sample_step, st,
             jax.random.fold_in(rng, 999), max_batches=max_batches,
+            mesh=mesh,
         )
 
     min_loss = 1e4
@@ -200,7 +201,7 @@ def main():
             min_loss = loops.evaluate_val(
                 val_loader, eval_step, state, epoch, warmup, min_loss,
                 jax.random.fold_in(rng, 10_000 + epoch), writer=writer,
-                reconstruct_fn=reconstruct_fn, **config,
+                reconstruct_fn=reconstruct_fn, mesh=mesh, **config,
             )
             cur_iter = 0
 
