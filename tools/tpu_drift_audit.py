@@ -177,12 +177,13 @@ def throughput(precision_mode):
         p = jnp.asarray(batch["eval_cloud"])
         key = jax.random.PRNGKey(1)
         state, m = step(state, g, p, key, warmup=False)
-        jax.block_until_ready(m)  # compile + warmup
+        float(m["loss"])  # compile + warmup (fetch-synced: over the
+        # tunneled chip block_until_ready can resolve before execution)
         n_iters = 10
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, m = step(state, g, p, key, warmup=False)
-        jax.block_until_ready(m)
+        float(m["loss"])
         dt = (time.perf_counter() - t0) / n_iters
     return BENCH_B / dt, dt * 1e3
 
