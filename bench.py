@@ -198,10 +198,38 @@ def main(measure_only: bool = False):
     sample_per_sec = timed(sample_only)
     emd_per_sec = timed(sample_and_eval_emd, ref)
 
-    # FLOPs accounting (see module docstring)
-    model_flops = _xla_flops(
-        sample_only, params, batch_stats, jax.random.PRNGKey(2)
-    ) / batch
+    # 'fast' matmul-precision variant (bf16 model matmuls; the metric
+    # kernels pin HIGHEST regardless): the sampling chain is MXU-bound,
+    # so precision passes translate ~directly to throughput
+    from go_with_the_flows_tpu.ops.precision import matmul_precision_scope
+
+    with matmul_precision_scope("fast"):
+        @jax.jit
+        def sample_and_eval_fast(params, batch_stats, key, ref_clouds):
+            samples, labels = sample(params, batch_stats, key)
+            gen = jnp.transpose(samples, (0, 2, 1))
+            cd_fn = chamfer_pallas if on_tpu else chamfer
+            dl, dr = cd_fn(gen, ref_clouds)
+            return samples, labels, jnp.mean(dl, 1) + jnp.mean(dr, 1)
+
+        fast_per_sec = timed(sample_and_eval_fast, ref)
+
+    # FLOPs accounting (see module docstring). The decoder flops are
+    # ANALYTIC: XLA's cost analysis counts a while/scan body once, not
+    # times its trip count, so it undercounts the scanned coupling stack
+    # ~3.4x. Per coupling per point, per head: (3 x f) + (f x f) + (f x 3)
+    # MACs; 2 heads; K components decode all N points.
+    from go_with_the_flows_tpu.models.mixture import reduce_decoder_params
+
+    depth, feats = reduce_decoder_params(
+        FLAGSHIP["n_components"], FLAGSHIP["params_reduce_mode"],
+        FLAGSHIP["p_decoder_n_flows"], FLAGSHIP["p_decoder_n_features"],
+        FLAGSHIP["g_latent_space_size"],
+    )
+    per_coupling = 4.0 * (3 * feats + feats * feats + feats * 3)
+    model_flops = (
+        FLAGSHIP["n_components"] * N * (3 * depth) * per_coupling
+    )
     chamfer_flops = 8.0 * N * N  # per cloud pair, analytic
     per_cloud = model_flops + chamfer_flops
     sustained = per_cloud * clouds_per_sec
@@ -213,6 +241,7 @@ def main(measure_only: bool = False):
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / CPU_BASELINE_CLOUDS_PER_SEC, 2),
         "emd_clouds_per_sec": round(emd_per_sec, 2),
+        "fast_mode_clouds_per_sec": round(fast_per_sec, 2),
         "sample_only_clouds_per_sec": round(sample_per_sec, 2),
         "sample_frac": round(clouds_per_sec / max(sample_per_sec, 1e-9), 4),
         "model_tflops_per_cloud": round(model_flops / 1e12, 6),

@@ -125,6 +125,10 @@ class FlowMixtureModel(nn.Module):
     # with flows.unrolled_to_scanned_params. Set False for the reference-
     # shaped per-layer layout.
     scan_couplings: bool = True
+    # Fused Pallas sampling kernel for eval-mode direct decode:
+    # None = auto (TPU only), True = always (interpret off-TPU, tests),
+    # False = XLA. See _decode_direct_eval.
+    fused_sampling: bool | None = None
 
     def setup(self):
         G = self.g_latent_space_size
@@ -370,13 +374,51 @@ class FlowMixtureModel(nn.Module):
         )
         base = base_mus[None] + std[None] * eps  # (K, B, 3, N)
 
-        decoded, _ = self.pc_decoder(base, g_sample, "direct", False)
-        # gather: out[b, :, n] = decoded[ids[b, n], b, :, n]
-        samples = jnp.take_along_axis(
-            decoded, ids[None, :, None, :], axis=0
-        )[0]
+        decoded = self._decode_direct_eval(base, g_sample)
+        # select: out[b, :, n] = decoded[ids[b, n], b, :, n]. A one-hot
+        # select-sum, NOT take_along_axis: XLA lowers the K-axis gather
+        # to a ~60 ms kernel at flagship scale, the masked sum is a
+        # ~1 ms memory-bound sweep.
+        mask = ids[None, :, None, :] == jnp.arange(K)[:, None, None, None]
+        samples = jnp.sum(jnp.where(mask, decoded, 0.0), axis=0)
         labels = ids + 1
         return samples, labels, logits
+
+    def _decode_direct_eval(self, base, g_sample):
+        """Direct eval-mode decode of all K components — the sampling hot
+        path. On TPU this runs the fused Pallas coupling kernel
+        (ops/pallas/coupling_kernel.py): the whole coupling chain stays
+        in VMEM, measured 1.1x (fp32-highest) to 2.9x ('fast' matmul
+        precision) faster than the XLA stack at flagship scale. The
+        `fused_sampling` attr: None = auto (TPU only), True = always
+        (interpret mode off-TPU — for tests), False = XLA path."""
+        use_fused = self.fused_sampling
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        if use_fused:
+            dec_vars = self.pc_decoder.variables
+            if dec_vars.get("params"):  # absent during model.init
+                from ..ops.pallas.coupling_kernel import (
+                    film_alpha_beta,
+                    fused_point_decode,
+                    pack_point_decoder,
+                )
+
+                depth = self.pc_decoder_depth
+                scan = self.scan_couplings
+                packed = jax.vmap(
+                    lambda pr, st: pack_point_decoder(pr, st, depth, scan)
+                )(dec_vars["params"], dec_vars["batch_stats"])
+                ab = jax.vmap(film_alpha_beta, in_axes=(0, None))(
+                    packed, g_sample
+                )
+                decoded, _ = fused_point_decode(
+                    packed, ab, base,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return decoded
+        decoded, _ = self.pc_decoder(base, g_sample, "direct", False)
+        return decoded
 
     # ------------------------------------------------------------------ #
     # forward                                                            #

@@ -1,0 +1,374 @@
+"""Fused Pallas sampling kernel for the point-decoder coupling stack.
+
+The eval/sampling hot path (reference flow_mixture.py:162-177 direct
+decode; our models/mixture.py decode_sampling) runs every point through
+n_flows*3 affine couplings. Under XLA each coupling materializes its
+(B, f, N) activations (plus einsum relayouts) in HBM — measured ~540 ms
+for the K=4, B=1024, N=2048 flagship decode, ~5x the minimal HBM traffic
+and ~25x the MXU compute — the pass is memory/latency bound. This kernel
+runs the ENTIRE coupling chain in VMEM: HBM traffic drops to the points
+in/out plus one weight/FiLM read per cloud tile.
+
+Math (exactly CondAffineCoupling3D in eval mode, models/flows.py:95-180,
+reference flows.py:95-117) with everything constant folded:
+
+  per coupling c, head (logvar | mu):
+    h = relu(W0 @ X + b0)          W0 = (BN0 scale) * sd0-kernel, with the
+                                   keep-channel selection folded in
+                                   (zero columns on warped channels)
+    h = relu(alpha * (W1 @ h) + beta)
+                                   W1 = sd1-kernel; alpha/beta fold the
+                                   affine-free BN1 (running stats) with
+                                   the per-cloud FiLM modulation
+                                   (eps + exp(film_w(g))), film_b(g)
+    y = W2 @ h + b2                sd2 with the warp-channel scatter
+                                   folded in (zero rows on kept channels)
+  logvar = softsign(y_lv); scale = sqrt(eps + exp(logvar))  [full-width:
+  kept channels get logvar 0 -> scale sqrt(1+eps), the reference quirk]
+  X <- scale * X + y_mu;  lv_sum <- lv_sum + logvar
+
+Design notes:
+  * The two heads are stacked feature-wise (2f) with a block-diagonal
+    W1: on the 128-wide MXU both f=37 and 2f=74 pad to the same tile, so
+    the stacked dot is strictly cheaper than two narrow ones.
+  * Activations are (features, points) — features on sublanes, points on
+    lanes — matching the torch (out, in) weight orientation, so the
+    packed weights need no transposes at all.
+  * Each program processes TB clouds as ALIGNED LANE SEGMENTS of one
+    (2f, TB*N) activation matrix: the big dots span all TB clouds
+    (hiding MXU latency that made a one-cloud-per-program variant
+    latency-bound), while the per-cloud FiLM affine indexes static
+    128-aligned lane windows.
+  * Every per-coupling array keeps the coupling axis C LEADING with
+    >= 2 trailing dims so the in-kernel fori_loop can index it
+    dynamically (Mosaic rejects dynamic sublane/lane indices).
+
+Scope: DIRECT mode, eval (running BN stats) — exactly the sampling /
+reconstruction paths. Training/inverse stay on XLA (they need batch
+stats + autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BN_EPS = 1e-5   # ops/layers.py batch_norm (torch BatchNorm1d default)
+_EPS = 1e-6      # coupling eps (models/flows.py CondAffineCoupling3D)
+
+# warp patterns per coupling within the repeating 6-coupling period
+# (models/flows.py _TRIPLE_PATTERNS; reference flows.py:129-148)
+_PERIOD_WARPS = ((0,), (1,), (2,), (0, 1), (0, 2), (1, 2))
+
+
+def coupling_warps(n_flows: int):
+    """Warp tuple per coupling in direct order (flow i uses pattern i%2)."""
+    out = []
+    for i in range(n_flows):
+        pattern = _PERIOD_WARPS[:3] if i % 2 == 0 else _PERIOD_WARPS[3:]
+        out.extend(pattern)
+    return out
+
+
+def scanned_to_unrolled_params(tree, n_flows: int):
+    """Inverse of flows.unrolled_to_scanned_params: split the stacked
+    periods/* leaves back into flow{i}_nvp{j} entries (works on params
+    and batch_stats alike; leaves keep any extra leading axes)."""
+    n_pairs, tail = divmod(n_flows, 2)
+    out = {}
+    for t in range(n_pairs):
+        for k in range(6):
+            flow_off, j = divmod(k, 3)
+            out[f"flow{2 * t + flow_off}_nvp{j + 1}"] = jax.tree.map(
+                lambda x: x[t], tree["periods"][f"nvp{k + 1}"]
+            )
+    if tail:
+        for j in range(3):
+            out[f"flow{n_flows - 1}_nvp{j + 1}"] = tree[f"tail_nvp{j + 1}"]
+    return out
+
+
+def _fold_head(cp, cs, warp):
+    """Constant-fold one conditioner head into (W0 (f,3), b0 (f),
+    W1 (f,f), a1 (f), b1 (f), W2 (3,f), b2 (3)) — selection/scatter and
+    eval-mode BN affines folded in, torch (out, in) orientation.
+    cp/cs = the head's params/stats."""
+    keep = tuple(i for i in range(3) if i not in warp)
+    f = cp["sd1"]["kernel"].shape[0]
+
+    a0 = cp["sd0_bn"]["scale"] * jax.lax.rsqrt(cs["sd0_bn"]["var"] + _BN_EPS)
+    b0 = cp["sd0_bn"]["bias"] - cs["sd0_bn"]["mean"] * a0
+    sd0 = cp["sd0"]["kernel"] * a0[:, None]  # (f, |K|)
+    w0 = jnp.zeros((f, 3), sd0.dtype).at[:, jnp.asarray(keep)].set(sd0)
+
+    a1 = jax.lax.rsqrt(cs["sd1_bn"]["var"] + _BN_EPS)  # affine-free BN
+    b1 = -cs["sd1_bn"]["mean"] * a1
+    w1 = cp["sd1"]["kernel"]  # (f_out, f_in)
+
+    sd2 = cp["sd2"]["kernel"]  # (|W|, f)
+    w2 = jnp.zeros((3, f), sd2.dtype).at[jnp.asarray(warp), :].set(sd2)
+    b2 = jnp.zeros((3,), sd2.dtype).at[jnp.asarray(warp)].set(
+        cp["sd2"]["bias"]
+    )
+    return w0, b0, w1, a1, b1, w2, b2
+
+
+def _fold_film(cp, cs):
+    """FiLM MLP constants of one head: (k0 (G,f), a0 (f), b0 (f),
+    k1 (f,f), b1 (f)) with the eval BN folded."""
+    a = cp["film0_bn"]["scale"] * jax.lax.rsqrt(
+        cs["film0_bn"]["var"] + _BN_EPS
+    )
+    b = cp["film0_bn"]["bias"] - cs["film0_bn"]["mean"] * a
+    return (cp["film0"]["kernel"], a, b,
+            cp["film1"]["kernel"], cp["film1"]["bias"])
+
+
+def pack_point_decoder(
+    params: Dict, batch_stats: Dict, n_flows: int, scan_layout: bool
+) -> Dict[str, jax.Array]:
+    """Stack + constant-fold a PointDecoderFlow / ScanPointDecoderFlow
+    variable tree (single decoder — vmap over a leading component axis
+    for the mixture) into the kernel's packed arrays."""
+    if scan_layout:
+        params = scanned_to_unrolled_params(params, n_flows)
+        batch_stats = scanned_to_unrolled_params(batch_stats, n_flows)
+    warps = coupling_warps(n_flows)
+
+    acc = {k: [] for k in (
+        "w0", "b0", "w1", "a1", "b1", "w2lv", "b2lv", "w2mu", "b2mu",
+        "film_k0", "film_a0", "film_b0", "film_k1", "film_b1",
+    )}
+    for c, warp in enumerate(warps):
+        i, j = divmod(c, 3)
+        cp = params[f"flow{i}_nvp{j + 1}"]
+        cs = batch_stats[f"flow{i}_nvp{j + 1}"]
+        heads = []
+        for head in ("T_logvar", "T_mu"):
+            heads.append(_fold_head(cp[head], cs[head], warp))
+        (w0l, b0l, w1l, a1l, b1l, w2l, b2l) = heads[0]
+        (w0m, b0m, w1m, a1m, b1m, w2m, b2m) = heads[1]
+        f = w1l.shape[0]
+        acc["w0"].append(jnp.concatenate([w0l, w0m], axis=0))  # (2f, 3)
+        acc["b0"].append(jnp.concatenate([b0l, b0m])[:, None])  # (2f, 1)
+        w1 = jnp.zeros((2 * f, 2 * f), w1l.dtype)
+        w1 = w1.at[:f, :f].set(w1l).at[f:, f:].set(w1m)
+        acc["w1"].append(w1)
+        acc["a1"].append(jnp.concatenate([a1l, a1m])[None, :])  # (1, 2f)
+        acc["b1"].append(jnp.concatenate([b1l, b1m])[None, :])
+        zf = jnp.zeros((3, f), w2l.dtype)
+        acc["w2lv"].append(jnp.concatenate([w2l, zf], axis=1))  # (3, 2f)
+        acc["w2mu"].append(jnp.concatenate([zf, w2m], axis=1))
+        acc["b2lv"].append(b2l[:, None])  # (3, 1)
+        acc["b2mu"].append(b2m[:, None])
+        # FiLM nets in head-stacked order: (lv_w, lv_b, mu_w, mu_b)
+        film = [
+            _fold_film(cp[h][n], cs[h][n])
+            for h in ("T_logvar", "T_mu")
+            for n in ("cond_w", "cond_b")
+        ]
+        acc["film_k0"].append(jnp.stack([x[0] for x in film]))  # (4, G, f)
+        acc["film_a0"].append(jnp.stack([x[1] for x in film]))  # (4, f)
+        acc["film_b0"].append(jnp.stack([x[2] for x in film]))
+        acc["film_k1"].append(jnp.stack([x[3] for x in film]))  # (4, f, f)
+        acc["film_b1"].append(jnp.stack([x[4] for x in film]))
+    return {k: jnp.stack(v).astype(jnp.float32) for k, v in acc.items()}
+
+
+from ..precision import get_matmul_precision
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _kernel_precision_mode() -> str:
+    """Kernel matmul precision follows the model-wide knob
+    (ops/precision.py): 'highest' (f32 passes) for parity, 'fast' (one
+    bf16 pass) as the throughput opt-in — the fused chain is MXU-bound,
+    so passes translate ~directly to sampling throughput (measured
+    491 ms -> 109 ms for the flagship K=4 B=1024 decode). Mosaic only
+    lowers DEFAULT and HIGHEST dot precisions, so 'high' clamps to
+    HIGHEST. Resolved OUTSIDE the kernel's jit and passed as a static
+    argument: a jit-cached trace must not pin a stale mode."""
+    mode = get_matmul_precision()
+    return "fast" if mode in ("fast", "default") else "highest"
+
+
+
+def film_alpha_beta(packed: Dict, g: jax.Array) -> jax.Array:
+    """Per-cloud fused conditioner affines.
+
+    alpha = (eps + exp(film_w(g))) * BN1_scale
+    beta  = (eps + exp(film_w(g))) * BN1_shift + film_b(g)
+    Returns one (B, C, 2, f2) array: [:, :, 0] = alpha, [:, :, 1] = beta.
+    """
+    h = jnp.einsum("bg,chgf->bchf", g, packed["film_k0"], precision=_HP)
+    h = jax.nn.silu(h * packed["film_a0"] + packed["film_b0"])
+    out = jnp.einsum(
+        "bchf,chfe->bche", h, packed["film_k1"], precision=_HP
+    ) + packed["film_b1"]  # (B, C, 4, f) in (lv_w, lv_b, mu_w, mu_b)
+    F = _EPS + jnp.exp(out[:, :, 0::2])     # (B, C, 2, f): lv, mu scales
+    film_b = out[:, :, 1::2]                # (B, C, 2, f): lv, mu shifts
+    B, C = F.shape[:2]
+    F = F.reshape(B, C, -1)                 # (B, C, 2f) head-stacked
+    film_b = film_b.reshape(B, C, -1)
+    a1 = packed["a1"][:, 0, :]              # (C, 2f)
+    b1 = packed["b1"][:, 0, :]
+    alpha = F * a1
+    beta = F * b1 + film_b
+    # packed as one (B, C, 2, f2) array — rows on the LANE dim: a
+    # (f2, 1)-shaped layout would pad its 1-wide lane dim to 128 and
+    # blow the VMEM budget (2.7 MB/block); the kernel transposes the
+    # (1, f2) row it reads per coupling instead
+    return jnp.stack([alpha, beta], axis=2)
+
+
+def _decode_kernel(n_couplings, tb, n_pad, prec, x_ref, w0_ref, b0_ref,
+                   w1_ref, w2lv_ref, b2lv_ref, w2mu_ref, b2mu_ref,
+                   ab_ref, out_ref, lv_ref):
+    x = x_ref[0, 0]  # (3, tb * N)
+
+    def coupling(c, carry):
+        x, lv = carry
+        w0 = w0_ref[0, pl.ds(c, 1)][0]       # (2f, 3)
+        b0 = b0_ref[0, pl.ds(c, 1)][0]       # (2f, 1)
+        h = jnp.maximum(
+            jnp.dot(w0, x, preferred_element_type=jnp.float32,
+                    precision=prec) + b0,
+            0.0,
+        )
+        h = jnp.dot(w1_ref[0, pl.ds(c, 1)][0], h,
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
+        # per-cloud FiLM affine on static 128-aligned lane segments
+        segs = []
+        for t in range(tb):
+            alpha = ab_ref[0, 0, t, pl.ds(c, 1), 0].T  # (f2, 1)
+            beta = ab_ref[0, 0, t, pl.ds(c, 1), 1].T
+            segs.append(jnp.maximum(
+                alpha * h[:, t * n_pad:(t + 1) * n_pad] + beta, 0.0
+            ))
+        h = segs[0] if tb == 1 else jnp.concatenate(segs, axis=1)
+        y_lv = jnp.dot(w2lv_ref[0, pl.ds(c, 1)][0], h,
+                       preferred_element_type=jnp.float32,
+                       precision=prec)
+        y_lv = y_lv + b2lv_ref[0, pl.ds(c, 1)][0]
+        y_mu = jnp.dot(w2mu_ref[0, pl.ds(c, 1)][0], h,
+                       preferred_element_type=jnp.float32,
+                       precision=prec)
+        y_mu = y_mu + b2mu_ref[0, pl.ds(c, 1)][0]
+        logvar = jax.nn.soft_sign(y_lv)      # (3, tb*N); 0 on kept chans
+        scale = jnp.sqrt(_EPS + jnp.exp(logvar))
+        return scale * x + y_mu, lv + logvar
+
+    x, lv = jax.lax.fori_loop(
+        0, n_couplings, coupling, (x, jnp.zeros_like(x))
+    )
+    out_ref[0, 0] = x
+    lv_ref[0, 0] = lv
+
+
+def fused_point_decode(
+    packed: Dict, ab: jax.Array, p: jax.Array,
+    interpret: bool = False,
+):
+    """Direct eval pass of the full coupling stack.
+
+    packed: pack_point_decoder output, optionally with a leading
+    component axis K on every leaf (the film_alpha_beta output `ab` then
+    carries it too).
+    p: (B, 3, N) points — or (K, B, 3, N) with per-component weights.
+    Returns (p_out, logvar_sum) with p's shape.
+    """
+    mode = _kernel_precision_mode()
+    if p.ndim == 3:
+        out, lv = _fused_point_decode_impl(
+            jax.tree.map(lambda x: x[None], packed),
+            ab[None], p[None], interpret, mode,
+        )
+        return out[0], lv[0]
+    return _fused_point_decode_impl(packed, ab, p, interpret, mode)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "precision_mode")
+)
+def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode):
+    prec = (jax.lax.Precision.HIGHEST if precision_mode == "highest"
+            else jax.lax.Precision.DEFAULT)
+    K, B, _, N = p.shape
+    C = packed["w1"].shape[1]
+    f2 = packed["w1"].shape[2]
+    n_pad = -(-N // 128) * 128  # aligned lane segments per cloud
+    x = p.astype(jnp.float32)
+    if n_pad != N:
+        x = jnp.concatenate(
+            [x, jnp.zeros((K, B, 3, n_pad - N), jnp.float32)], axis=3
+        )
+    # clouds per program: segments widen the dots (one-cloud programs are
+    # MXU-latency-bound); bounded by ~3.5 live (2f->80, tb*N) f32 buffers
+    # (h scratch + the W1 dot output + pipeline blocks) in 16MB VMEM
+    tb = 1
+    for cand in (8, 4, 2):
+        if B % cand == 0 and cand * n_pad <= 8192:
+            tb = cand
+            break
+    x = x.reshape(K, B // tb, tb, 3, n_pad)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(
+        K, B // tb, 3, tb * n_pad
+    )
+
+    def wspec(arr):
+        # per-component weight block, full C axis (shared over b)
+        s = arr.shape[1:]
+        return pl.BlockSpec((1,) + s, lambda k, b: (k,) + (0,) * len(s))
+
+    out, lv = pl.pallas_call(
+        functools.partial(_decode_kernel, C, tb, n_pad, prec),
+        grid=(K, B // tb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 3, tb * n_pad),
+                         lambda k, b: (k, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(packed["w0"]),
+            wspec(packed["b0"]),
+            wspec(packed["w1"]),
+            wspec(packed["w2lv"]),
+            wspec(packed["b2lv"]),
+            wspec(packed["w2mu"]),
+            wspec(packed["b2mu"]),
+            pl.BlockSpec((1, 1, tb, C, 2, f2),
+                         lambda k, b: (k, b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 3, tb * n_pad),
+                         lambda k, b: (k, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, tb * n_pad),
+                         lambda k, b: (k, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, B // tb, 3, tb * n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((K, B // tb, 3, tb * n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x,
+        packed["w0"], packed["b0"], packed["w1"],
+        packed["w2lv"], packed["b2lv"], packed["w2mu"], packed["b2mu"],
+        # (K, B//tb, tb, C, 2, f2)
+        ab.reshape(K, B // tb, tb, C, 2, f2),
+    )
+
+    def unpack(z):
+        z = z.reshape(K, B // tb, 3, tb, n_pad)
+        z = jnp.transpose(z, (0, 1, 3, 2, 4)).reshape(K, B, 3, n_pad)
+        return z[:, :, :, :N]
+
+    return unpack(out), unpack(lv)
