@@ -10,9 +10,9 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "clouds/sec/chip",
    "vs_baseline": N, ...}
 with FLOPs/MFU accounting fields:
-  - model_tflops_per_cloud: XLA cost-analysis FLOPs of the sampling
-    program (prior flow + K decoder flow stacks + encoder-free generate
-    path), per cloud;
+  - model_tflops_per_cloud: ANALYTIC decoder FLOPs per cloud (XLA's
+    cost analysis counts a scan body once, not times its trip count,
+    undercounting the scanned stack ~3.4x);
   - chamfer_tflops_per_cloud: analytic FLOPs of the fused Pallas Chamfer
     (8 * N * M per pair: 3 sub + 3 mul + 2 add for the squared distance,
     min folded into the reduction — the Pallas custom call is invisible
@@ -24,7 +24,9 @@ with FLOPs/MFU accounting fields:
   - sample_frac: fraction of step time in sampling (vs Chamfer eval),
     measured with a sample-only program;
   - emd_clouds_per_sec: the sample + CD + EMD variant (9-level auction
-    EMD is ~35x the Chamfer arithmetic, so this is the expensive eval).
+    EMD is ~35x the Chamfer arithmetic, so this is the expensive eval);
+  - fast_mode_clouds_per_sec: sample + CD with 'fast' (bf16) model
+    matmuls — the throughput opt-in (metric kernels stay HIGHEST).
 
 vs_baseline is the speedup over the CPU baseline measured on the dev box
 (1-core CPU, same program, see CPU_BASELINE_CLOUDS_PER_SEC provenance);
@@ -94,18 +96,6 @@ def _chip_peak_flops() -> float:
         if kind.startswith(key):
             return peak
     return 197e12  # default: v5e-class
-
-
-def _xla_flops(jitted, *args) -> float:
-    """FLOPs of one execution from XLA's cost analysis (0 if unknown).
-    Pallas custom calls are NOT included — account those analytically."""
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
 
 
 def main(measure_only: bool = False):

@@ -116,6 +116,7 @@ def train(
             line = (
                 f"Epoch: [{epoch + 1}][{it + 1}/{n_batches}]"
                 f"\tTime {batch_time.val:.3f} ({batch_time.avg:.3f})"
+                f"\tData {data_time.val:.3f} ({data_time.avg:.3f})"
                 f"\tLB {meters['loss'].val:.2f} ({meters['loss'].avg:.2f})"
                 f"\tPNLL {meters['pnll'].val:.2f} ({meters['pnll'].avg:.2f})"
                 f"\tGNLL {meters['gnll'].val:.2f} ({meters['gnll'].avg:.2f})"
