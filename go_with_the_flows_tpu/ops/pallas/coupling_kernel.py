@@ -187,15 +187,38 @@ _HP = jax.lax.Precision.HIGHEST
 
 def _kernel_precision_mode() -> str:
     """Kernel matmul precision follows the model-wide knob
-    (ops/precision.py): 'highest' (f32 passes) for parity, 'fast' (one
+    (ops/precision.py): 'highest' (6 f32 MXU passes) for parity, 'high'
+    (3 passes — emulated, see _mxdot) at ~f32 accuracy, 'fast' (one
     bf16 pass) as the throughput opt-in — the fused chain is MXU-bound,
-    so passes translate ~directly to sampling throughput (measured
-    491 ms -> 109 ms for the flagship K=4 B=1024 decode). Mosaic only
-    lowers DEFAULT and HIGHEST dot precisions, so 'high' clamps to
-    HIGHEST. Resolved OUTSIDE the kernel's jit and passed as a static
-    argument: a jit-cached trace must not pin a stale mode."""
+    so passes translate ~directly to sampling throughput. Resolved
+    OUTSIDE the kernel's jit and passed as a static argument: a
+    jit-cached trace must not pin a stale mode."""
     mode = get_matmul_precision()
-    return "fast" if mode in ("fast", "default") else "highest"
+    if mode in ("fast", "default"):
+        return "fast"
+    return mode
+
+
+def _mxdot(a, b, mode: str):
+    """Mode-aware matmul. Mosaic lowers only DEFAULT and HIGHEST dot
+    precisions, so 'high' (3 bf16 passes, ~f32 accuracy — the drift
+    audit measured tpu-high tensor drift equal to tpu-highest) is
+    emulated with an explicit bf16 hi/lo split:
+    a*b ~ hi(a)hi(b) + hi(a)lo(b) + lo(a)hi(b)."""
+    if mode == "high":
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=prec)
 
 
 
@@ -236,14 +259,8 @@ def _decode_kernel(n_couplings, tb, n_pad, prec, x_ref, w0_ref, b0_ref,
         x, lv = carry
         w0 = w0_ref[0, pl.ds(c, 1)][0]       # (2f, 3)
         b0 = b0_ref[0, pl.ds(c, 1)][0]       # (2f, 1)
-        h = jnp.maximum(
-            jnp.dot(w0, x, preferred_element_type=jnp.float32,
-                    precision=prec) + b0,
-            0.0,
-        )
-        h = jnp.dot(w1_ref[0, pl.ds(c, 1)][0], h,
-                    preferred_element_type=jnp.float32,
-                    precision=prec)
+        h = jnp.maximum(_mxdot(w0, x, prec) + b0, 0.0)
+        h = _mxdot(w1_ref[0, pl.ds(c, 1)][0], h, prec)
         # per-cloud FiLM affine on static 128-aligned lane segments
         segs = []
         for t in range(tb):
@@ -253,13 +270,9 @@ def _decode_kernel(n_couplings, tb, n_pad, prec, x_ref, w0_ref, b0_ref,
                 alpha * h[:, t * n_pad:(t + 1) * n_pad] + beta, 0.0
             ))
         h = segs[0] if tb == 1 else jnp.concatenate(segs, axis=1)
-        y_lv = jnp.dot(w2lv_ref[0, pl.ds(c, 1)][0], h,
-                       preferred_element_type=jnp.float32,
-                       precision=prec)
+        y_lv = _mxdot(w2lv_ref[0, pl.ds(c, 1)][0], h, prec)
         y_lv = y_lv + b2lv_ref[0, pl.ds(c, 1)][0]
-        y_mu = jnp.dot(w2mu_ref[0, pl.ds(c, 1)][0], h,
-                       preferred_element_type=jnp.float32,
-                       precision=prec)
+        y_mu = _mxdot(w2mu_ref[0, pl.ds(c, 1)][0], h, prec)
         y_mu = y_mu + b2mu_ref[0, pl.ds(c, 1)][0]
         logvar = jax.nn.soft_sign(y_lv)      # (3, tb*N); 0 on kept chans
         scale = jnp.sqrt(_EPS + jnp.exp(logvar))
@@ -298,8 +311,7 @@ def fused_point_decode(
     jax.jit, static_argnames=("interpret", "precision_mode")
 )
 def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode):
-    prec = (jax.lax.Precision.HIGHEST if precision_mode == "highest"
-            else jax.lax.Precision.DEFAULT)
+    prec = precision_mode
     K, B, _, N = p.shape
     C = packed["w1"].shape[1]
     f2 = packed["w1"].shape[2]

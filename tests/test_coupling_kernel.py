@@ -181,3 +181,22 @@ def test_mixture_fused_sampling_matches_xla():
                     jax.tree.leaves(outs[True])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_precision_modes():
+    """'high' (3-pass bf16-split emulation) must stay within ~1e-3 of
+    the f32 stack; 'fast' (single bf16 pass) within bf16 tolerance."""
+    from go_with_the_flows_tpu.ops.precision import matmul_precision_scope
+
+    model, variables, p, g = _init_decoder(n_flows=2, seed=9)
+    want_p, _ = model.apply(variables, p, g, mode="direct", train=False)
+    packed = pack_point_decoder(
+        variables["params"], variables["batch_stats"], 2,
+        scan_layout=False,
+    )
+    ab = film_alpha_beta(packed, g)
+    for mode, atol in (("high", 2e-3), ("fast", 5e-2)):
+        with matmul_precision_scope(mode):
+            got_p, _ = fused_point_decode(packed, ab, p, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                                   rtol=atol, atol=atol, err_msg=mode)
