@@ -336,7 +336,19 @@ class FlowMixtureModel(nn.Module):
         """
         K = self.n_components
         p_stack = jnp.broadcast_to(p_input[None], (K,) + p_input.shape)
-        p0, lv_sums = self.pc_decoder(p_stack, g_sample, "inverse", train)
+        if train:
+            p0, lv_sums = self.pc_decoder(p_stack, g_sample, "inverse",
+                                          train)
+        else:
+            # validation / eval-mode inverse (BN running stats): fusable
+            # exactly like sampling — no gradients flow here
+            fused = self._fused_eval_decode(p_stack, g_sample,
+                                            inverse=True)
+            if fused is None:
+                p0, lv_sums = self.pc_decoder(p_stack, g_sample,
+                                              "inverse", train)
+            else:
+                p0, lv_sums = fused
         base_mus, base_logvars = self._point_base(g_sample, train)
         logits = self.get_weights(g_sample, warmup, train)
         return {
@@ -384,39 +396,49 @@ class FlowMixtureModel(nn.Module):
         labels = ids + 1
         return samples, labels, logits
 
-    def _decode_direct_eval(self, base, g_sample):
-        """Direct eval-mode decode of all K components — the sampling hot
-        path. On TPU this runs the fused Pallas coupling kernel
-        (ops/pallas/coupling_kernel.py): the whole coupling chain stays
-        in VMEM, measured 1.1x (fp32-highest) to 2.9x ('fast' matmul
-        precision) faster than the XLA stack at flagship scale. The
-        `fused_sampling` attr: None = auto (TPU only), True = always
-        (interpret mode off-TPU — for tests), False = XLA path."""
+    def _fused_eval_decode(self, p_stack, g_sample, inverse: bool):
+        """Eval-mode decode of all K components through the fused Pallas
+        coupling kernel (ops/pallas/coupling_kernel.py): the whole chain
+        stays in VMEM — measured 1.1x (fp32-highest) to 2.9x ('fast'
+        matmul precision) faster than the XLA stack at flagship scale.
+        Valid only with BN running stats and without gradients (sampling,
+        reconstruction, validation loss). Returns (decoded, logvar_sums)
+        or None when disabled. The `fused_sampling` attr: None = auto
+        (TPU only), True = always (interpret mode off-TPU — for tests),
+        False = XLA path."""
         use_fused = self.fused_sampling
         if use_fused is None:
             use_fused = jax.default_backend() == "tpu"
-        if use_fused:
-            dec_vars = self.pc_decoder.variables
-            if dec_vars.get("params"):  # absent during model.init
-                from ..ops.pallas.coupling_kernel import (
-                    film_alpha_beta,
-                    fused_point_decode,
-                    pack_point_decoder,
-                )
+        if not use_fused:
+            return None
+        dec_vars = self.pc_decoder.variables
+        if not dec_vars.get("params"):  # absent during model.init
+            return None
+        from ..ops.pallas.coupling_kernel import (
+            film_alpha_beta,
+            fused_point_decode,
+            pack_point_decoder,
+        )
 
-                depth = self.pc_decoder_depth
-                scan = self.scan_couplings
-                packed = jax.vmap(
-                    lambda pr, st: pack_point_decoder(pr, st, depth, scan)
-                )(dec_vars["params"], dec_vars["batch_stats"])
-                ab = jax.vmap(film_alpha_beta, in_axes=(0, None))(
-                    packed, g_sample
-                )
-                decoded, _ = fused_point_decode(
-                    packed, ab, base,
-                    interpret=jax.default_backend() != "tpu",
-                )
-                return decoded
+        depth = self.pc_decoder_depth
+        scan = self.scan_couplings
+        packed = jax.vmap(
+            lambda pr, st: pack_point_decoder(pr, st, depth, scan)
+        )(dec_vars["params"], dec_vars["batch_stats"])
+        ab = jax.vmap(film_alpha_beta, in_axes=(0, None))(
+            packed, g_sample
+        )
+        return fused_point_decode(
+            packed, ab, p_stack,
+            interpret=jax.default_backend() != "tpu",
+            inverse=inverse,
+        )
+
+    def _decode_direct_eval(self, base, g_sample):
+        """Direct eval-mode decode (the sampling hot path)."""
+        fused = self._fused_eval_decode(base, g_sample, inverse=False)
+        if fused is not None:
+            return fused[0]
         decoded, _ = self.pc_decoder(base, g_sample, "direct", False)
         return decoded
 

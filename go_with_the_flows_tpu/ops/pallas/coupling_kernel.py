@@ -250,12 +250,15 @@ def film_alpha_beta(packed: Dict, g: jax.Array) -> jax.Array:
     return jnp.stack([alpha, beta], axis=2)
 
 
-def _decode_kernel(n_couplings, tb, n_pad, prec, x_ref, w0_ref, b0_ref,
-                   w1_ref, w2lv_ref, b2lv_ref, w2mu_ref, b2mu_ref,
-                   ab_ref, out_ref, lv_ref):
+def _decode_kernel(n_couplings, tb, n_pad, prec, inverse, x_ref,
+                   w0_ref, b0_ref, w1_ref, w2lv_ref, b2lv_ref,
+                   w2mu_ref, b2mu_ref, ab_ref, out_ref, lv_ref):
     x = x_ref[0, 0]  # (3, tb * N)
 
-    def coupling(c, carry):
+    def coupling(i, carry):
+        # inverse runs the exact reverse coupling order
+        # (reference decoders.py:61-79)
+        c = (n_couplings - 1 - i) if inverse else i
         x, lv = carry
         w0 = w0_ref[0, pl.ds(c, 1)][0]       # (2f, 3)
         b0 = b0_ref[0, pl.ds(c, 1)][0]       # (2f, 1)
@@ -276,7 +279,11 @@ def _decode_kernel(n_couplings, tb, n_pad, prec, x_ref, w0_ref, b0_ref,
         y_mu = y_mu + b2mu_ref[0, pl.ds(c, 1)][0]
         logvar = jax.nn.soft_sign(y_lv)      # (3, tb*N); 0 on kept chans
         scale = jnp.sqrt(_EPS + jnp.exp(logvar))
-        return scale * x + y_mu, lv + logvar
+        # the conditioner reads only KEPT channels, which the affine
+        # leaves semantically unchanged, so mu/logvar are identical in
+        # both directions (reference flows.py:112-115)
+        x = (x - y_mu) / scale if inverse else scale * x + y_mu
+        return x, lv + logvar
 
     x, lv = jax.lax.fori_loop(
         0, n_couplings, coupling, (x, jnp.zeros_like(x))
@@ -287,9 +294,9 @@ def _decode_kernel(n_couplings, tb, n_pad, prec, x_ref, w0_ref, b0_ref,
 
 def fused_point_decode(
     packed: Dict, ab: jax.Array, p: jax.Array,
-    interpret: bool = False,
+    interpret: bool = False, inverse: bool = False,
 ):
-    """Direct eval pass of the full coupling stack.
+    """Eval pass of the full coupling stack, direct or inverse.
 
     packed: pack_point_decoder output, optionally with a leading
     component axis K on every leaf (the film_alpha_beta output `ab` then
@@ -301,16 +308,18 @@ def fused_point_decode(
     if p.ndim == 3:
         out, lv = _fused_point_decode_impl(
             jax.tree.map(lambda x: x[None], packed),
-            ab[None], p[None], interpret, mode,
+            ab[None], p[None], interpret, mode, inverse,
         )
         return out[0], lv[0]
-    return _fused_point_decode_impl(packed, ab, p, interpret, mode)
+    return _fused_point_decode_impl(packed, ab, p, interpret, mode,
+                                    inverse)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "precision_mode")
+    jax.jit, static_argnames=("interpret", "precision_mode", "inverse")
 )
-def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode):
+def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode,
+                             inverse=False):
     prec = precision_mode
     K, B, _, N = p.shape
     C = packed["w1"].shape[1]
@@ -340,7 +349,7 @@ def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode):
         return pl.BlockSpec((1,) + s, lambda k, b: (k,) + (0,) * len(s))
 
     out, lv = pl.pallas_call(
-        functools.partial(_decode_kernel, C, tb, n_pad, prec),
+        functools.partial(_decode_kernel, C, tb, n_pad, prec, inverse),
         grid=(K, B // tb),
         in_specs=[
             pl.BlockSpec((1, 1, 3, tb * n_pad),

@@ -200,3 +200,62 @@ def test_fused_precision_modes():
             got_p, _ = fused_point_decode(packed, ab, p, interpret=True)
         np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
                                    rtol=atol, atol=atol, err_msg=mode)
+
+
+def test_fused_inverse_matches_xla():
+    """Inverse mode: reversed coupling order, inverted affine — must
+    match the XLA stack's inverse pass AND invert the fused direct."""
+    model, variables, p, g = _init_decoder(n_flows=3, seed=11)
+    want_p, want_lv = model.apply(variables, p, g, mode="inverse",
+                                  train=False)
+    packed = pack_point_decoder(
+        variables["params"], variables["batch_stats"], 3,
+        scan_layout=False,
+    )
+    ab = film_alpha_beta(packed, g)
+    got_p, got_lv = fused_point_decode(packed, ab, p, interpret=True,
+                                       inverse=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_lv), np.asarray(want_lv),
+                               rtol=1e-4, atol=1e-5)
+    # round trip: inverse(direct(p)) == p
+    fwd, _ = fused_point_decode(packed, ab, p, interpret=True)
+    back, _ = fused_point_decode(packed, ab, fwd, interpret=True,
+                                 inverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(p),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mixture_fused_validation_decode_matches_xla():
+    """decode_training(train=False) — the validation-loss inverse — with
+    the fused kernel == the XLA path."""
+    from go_with_the_flows_tpu.models.mixture import FlowMixtureModel
+
+    kwargs = dict(
+        n_components=2, params_reduce_mode="none",
+        weights_type="learned_weights", g_latent_space_size=16,
+        g_prior_n_flows=2, g_prior_n_features=16,
+        p_decoder_n_flows=3, p_decoder_n_features=8,
+        pc_enc_init_n_features=8, pc_enc_n_features=(8, 16),
+    )
+    rng = np.random.RandomState(1)
+    g_in = jnp.asarray(rng.randn(2, 3, 32).astype(np.float32) * 0.3)
+    p_in = jnp.asarray(rng.randn(2, 3, 32).astype(np.float32) * 0.3)
+    g_s = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+    init_model = FlowMixtureModel(**kwargs, fused_sampling=False)
+    variables = init_model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        g_in, p_in, mode="training",
+    )
+    outs = {}
+    for fused in (False, True):
+        model = FlowMixtureModel(**kwargs, fused_sampling=fused)
+        outs[fused] = model.apply(
+            variables, p_in, g_s, False, False, method="decode_training",
+        )
+    for key in ("p0_samples", "p_logvar_sums", "mixture_weights_logits"):
+        np.testing.assert_allclose(
+            np.asarray(outs[False][key]), np.asarray(outs[True][key]),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
