@@ -149,7 +149,12 @@ class DataLoader:
             return
 
         # double-buffered background assembly: the bounded queue holds up
-        # to `prefetch` ready batches; the producer blocks when ahead
+        # to `prefetch` ready batches; the producer blocks when ahead.
+        # The fork-based worker pool must be created HERE on the main
+        # thread: forking from the producer thread while the main thread
+        # runs JAX inherits held locks into the child (deadlock hazard
+        # CPython itself warns about).
+        self._get_pool()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

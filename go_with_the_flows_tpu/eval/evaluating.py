@@ -91,8 +91,16 @@ def evaluate(
     and samples + ground truth are allgathered so every process computes
     the metrics over the FULL evaluation set and returns bit-identical
     numbers (the reference evals per-rank shards, training.py:103-183);
-    h5 dumps are written by process 0 only."""
-    from ..parallel.mesh import place_batch, gather_global, gather_batch
+    h5 dumps are written by process 0 only and clamped to the dataset
+    size. Note: when len(dataset) is not a multiple of the process
+    count, the loader wrap-pads shards (DistributedSampler semantics) so
+    up to n_proc-1 duplicate clouds enter the metric buffers — exactly
+    the reference's padded-sampler behavior."""
+    from ..parallel.mesh import (
+        place_batch_uneven,
+        gather_global,
+        gather_batch,
+    )
 
     util_mode = kwargs.get("util_mode")
     is_saving = kwargs.get("saving", False) and jax.process_index() == 0
@@ -139,7 +147,9 @@ def evaluate(
 
     write_pos = 0
     for i, batch in enumerate(loader):
-        dev = place_batch(mesh, batch)
+        # uneven-tail-safe placement (drop_last=False loaders): pad rows
+        # are trimmed from every gathered array below
+        dev, trim = place_batch_uneven(mesh, batch)
         g_clouds = dev["cloud"]
 
         inf_start = time()
@@ -150,30 +160,43 @@ def evaluate(
             )
         else:
             samples, labels, _ = sample_step(state, g_clouds, key)
-        samples = gather_global(jax.block_until_ready(samples))
-        labels = gather_global(labels)
-        batch = gather_batch(batch)  # global batch on every host
+        jax.block_until_ready(samples)
+        bsz = samples.shape[0]
+        # timer stops BEFORE the cross-host gathers: 'Inference time' is
+        # the model cost (reference evaluating.py:86-98), not transfer
+        inf_time.update((time() - inf_start) / bsz, bsz)
+        samples = trim(gather_global(samples))
+        labels = trim(gather_global(labels))
+        # host batches are NEVER padded — gather_batch output is already
+        # R process-major blocks of real rows, matching the trimmed
+        # device arrays row for row
+        batch = gather_batch(batch)
         p_clouds = np.asarray(batch["eval_cloud"])
         bsz = samples.shape[0]
-        inf_time.update((time() - inf_start) / bsz, bsz)
 
         r_clouds, p_clouds = _denormalize(
             samples, p_clouds, batch, **kwargs
         )
 
         if clouds_file is not None:
-            sampled_ds[write_pos:write_pos + bsz] = r_clouds.astype(
+            # clamp at the dataset size: multi-process loader shards are
+            # wrap-padded (DistributedSampler semantics), so the gathered
+            # stream can hold up to n_proc-1 duplicate rows at the end
+            take = max(0, min(bsz, sampled_ds.shape[0] - write_pos))
+            sampled_ds[write_pos:write_pos + take] = r_clouds[:take].astype(
                 np.float32
             )
-            gt_ds[write_pos:write_pos + bsz] = p_clouds.astype(np.float32)
-            labels_ds[write_pos:write_pos + bsz] = np.asarray(
-                labels
+            gt_ds[write_pos:write_pos + take] = p_clouds[:take].astype(
+                np.float32
+            )
+            labels_ds[write_pos:write_pos + take] = np.asarray(
+                labels[:take]
             ).astype(np.int8)
             if svr:
-                images_ds[write_pos:write_pos + bsz] = np.transpose(
-                    np.asarray(batch["image"]), (0, 3, 1, 2)
+                images_ds[write_pos:write_pos + take] = np.transpose(
+                    np.asarray(batch["image"][:take]), (0, 3, 1, 2)
                 ).astype(np.float32)
-            write_pos += bsz
+            write_pos += take
 
         if util_mode in ("autoencoding", "generating"):
             gen_buf.append(r_clouds)

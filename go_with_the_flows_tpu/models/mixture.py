@@ -408,7 +408,12 @@ class FlowMixtureModel(nn.Module):
         False = XLA path."""
         use_fused = self.fused_sampling
         if use_fused is None:
-            use_fused = jax.default_backend() == "tpu"
+            # auto: respect a jax.default_device(...) override (e.g. the
+            # drift audit's CPU control run on a TPU host), else backend
+            default_dev = jax.config.jax_default_device
+            platform = (default_dev.platform if default_dev is not None
+                        else jax.default_backend())
+            use_fused = platform == "tpu"
         if not use_fused:
             return None
         dec_vars = self.pc_decoder.variables

@@ -37,23 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import round_up as _round_up, sq_dist_tile as _sq_dist_tile
+
 _TILE_M = 512
 _SENTINEL = 1e9  # pad coordinate: never wins a min against real points
 _BIG_IDX = 2 ** 30
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _sq_dist_tile(a, b_ref, t, tile_m):
-    """(N, T) squared distances between a (N, 3) and b-tile t."""
-    bt = b_ref[0, pl.ds(t * tile_m, tile_m), :]  # (T, 3)
-    d = jnp.zeros((a.shape[0], tile_m), jnp.float32)
-    for c in range(3):
-        diff = a[:, c:c + 1] - bt[:, c][None, :]  # (N, T)
-        d = d + diff * diff
-    return d
 
 
 def _masked_argmin(d, m, axis, base):

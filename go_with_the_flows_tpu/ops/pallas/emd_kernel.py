@@ -47,29 +47,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..emd import _capacities  # single source for the multiplicity rule
+from .common import round_up as _round_up, sq_dist_tile
+
 _TILE_M = 256  # three (N, T) f32 tiles live in sweep 3; 256 keeps them under the 16MB scoped VMEM limit
 _TILE_BWD = 128  # backward holds d/e/w/coeff tiles at once -> narrower tile
 _N_LEVELS = 9  # level = -4^j, j = 7..-1 (approxmatch.cu:24-28)
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _capacities(n: int, m: int):
-    """Integer multiplicities for n != m (approxmatch.cu:4-12)."""
-    if n >= m:
-        return 1.0, float(n // m)
-    return float(m // n), 1.0
-
-
 def _dist_tile(a, b_ref, t, tile=_TILE_M):
-    bt = b_ref[0, pl.ds(t * tile, tile), :]  # (T, 3)
-    d = jnp.zeros((a.shape[0], tile), jnp.float32)
-    for c in range(3):
-        diff = a[:, c:c + 1] - bt[:, c][None, :]
-        d = d + diff * diff
-    return d
+    return sq_dist_tile(a, b_ref, t, tile)
 
 
 def _init_capacity(size: int, real: int, multi: float, row: bool):

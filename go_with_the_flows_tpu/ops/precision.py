@@ -13,7 +13,7 @@ Modes:
   * "highest" (default): full fp32 passes — parity-first. The measured
     on-TPU drift and the throughput cost of this default are published in
     RESULTS.md ("On-TPU numerical parity audit").
-  * "high": bf16x6 passes (~f32-ish accuracy, faster).
+  * "high": bf16x3 passes (~f32 accuracy, faster).
   * "fast": the hardware default (bf16 passes) — throughput opt-in.
 
 The knob is read at TRACE time: set it (or enter the scope) BEFORE

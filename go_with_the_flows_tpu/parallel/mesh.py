@@ -135,6 +135,50 @@ def place_batch(mesh: Optional[Mesh], batch, shard_points: bool = False):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def place_batch_uneven(mesh: Optional[Mesh], batch,
+                       shard_points: bool = False):
+    """Eval-path placement that tolerates an uneven final batch
+    (drop_last=False loaders: 'the eval protocol covers the full split').
+
+    Pads the per-process batch by repeating its last row up to the
+    process's shard multiple so a global array can always be assembled,
+    and returns ``(device_batch, trim)`` where ``trim`` removes exactly
+    those pad rows from any gather_global'd / gather_batch'd array
+    (every process pads identically — loader shards are equal-length by
+    the DistributedSampler wrap — so the gathered layout is R blocks of
+    local_padded rows each, real rows first).
+    """
+    bsz = int(next(iter(batch.values())).shape[0])
+    data_size = mesh.shape.get("data", 1) if mesh is not None else 1
+    n_proc = jax.process_count()
+    local_shards = max(data_size // max(n_proc, 1), 1)
+    pad = (-bsz) % local_shards
+    if pad:
+        batch = {
+            k: np.concatenate(
+                [np.asarray(v), np.repeat(np.asarray(v)[-1:], pad, axis=0)]
+            )
+            for k, v in batch.items()
+        }
+    local_padded = bsz + pad
+
+    def trim(arr):
+        arr = np.asarray(arr)
+        if pad == 0:
+            return arr
+        if arr.shape[0] % local_padded != 0:
+            raise ValueError(
+                f"trim expects gathered PADDED arrays (multiples of "
+                f"{local_padded} rows), got {arr.shape[0]} rows — host "
+                "batches are unpadded and need no trim"
+            )
+        n_blocks = arr.shape[0] // local_padded
+        arr = arr.reshape((n_blocks, local_padded) + arr.shape[1:])
+        return arr[:, :bsz].reshape((n_blocks * bsz,) + arr.shape[2:])
+
+    return place_batch(mesh, batch, shard_points=shard_points), trim
+
+
 def gather_global(x):
     """Fetch a (possibly multi-host, batch-sharded) array fully to every
     host as numpy — the device->host edge of eval/reconstruct paths.
@@ -144,6 +188,10 @@ def gather_global(x):
     process-major device order of make_mesh) and allgather across
     processes, so every host sees the identical full buffer — the
     reference instead evals only each rank's shard (training.py:103-183).
+
+    Only batch-axis (axis 0) sharding is supported: shards that slice
+    any OTHER axis (e.g. a 'points'-sharded array) would be silently
+    dropped by the replica dedup below, so they are rejected loudly.
     """
     if jax.process_count() <= 1:
         return np.asarray(x)
@@ -151,14 +199,21 @@ def gather_global(x):
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
-    shards = sorted(
-        x.addressable_shards,
-        key=lambda s: (s.index[0].start or 0) if s.index else 0,
-    )
+    def _start(s):
+        return (s.index[0].start or 0) if s.index else 0
+
+    for s in x.addressable_shards:
+        if tuple(s.data.shape[1:]) != tuple(x.shape[1:]):
+            raise ValueError(
+                "gather_global supports batch-axis sharding only; got a "
+                f"shard of shape {s.data.shape} for a global {x.shape}. "
+                "Reshard (e.g. drop 'points' sharding) before gathering."
+            )
+    shards = sorted(x.addressable_shards, key=_start)
     seen = set()
     parts = []
     for s in shards:
-        start = (s.index[0].start or 0) if s.index else 0
+        start = _start(s)
         if start in seen:  # replicated over a non-data axis
             continue
         seen.add(start)

@@ -162,7 +162,7 @@ def evaluate_val(
     decision — is computed over the GLOBAL batch and is bit-identical on
     every process (the reference's per-rank eval can diverge in its
     best-model choice, train_ae.py:163-167)."""
-    from ..parallel.mesh import place_batch
+    from ..parallel.mesh import place_batch_uneven
 
     logging = config.get("logging", False)
     logging_path = config.get("logging_path", ".")
@@ -170,7 +170,10 @@ def evaluate_val(
     meters = {k: AverageMeter() for k in ("loss", "pnll", "gnll", "gent")}
 
     for i, batch in enumerate(loader):
-        dev = place_batch(mesh, batch)
+        # uneven final batches are padded by repeating the last row; the
+        # scalar loss then weighs those copies like the reference's
+        # wrap-padded DistributedSampler does (train_ae.py:100-103)
+        dev, _ = place_batch_uneven(mesh, batch)
         g, p = dev["cloud"], dev["eval_cloud"]
         key = jax.random.fold_in(rng, i)  # fresh noise per batch
         if svr:
@@ -229,13 +232,15 @@ def reconstruct(
     to the static mixture sampling. With `mesh`, batches are globally
     sharded and the outputs allgathered, so every process returns the
     identical full buffers."""
-    from ..parallel.mesh import place_batch, gather_global, gather_batch
+    from ..parallel.mesh import (
+        place_batch_uneven, gather_global, gather_batch,
+    )
 
     all_samples, all_gts, all_labels = [], [], []
     for b, batch in enumerate(loader):
         if max_batches is not None and b >= max_batches:
             break
-        dev = place_batch(mesh, batch)
+        dev, trim = place_batch_uneven(mesh, batch)
         key = jax.random.fold_in(rng, b)
         if svr:
             samples, labels, _ = sample_step(
@@ -243,9 +248,11 @@ def reconstruct(
             )
         else:
             samples, labels, _ = sample_step(state, dev["cloud"], key)
-        all_samples.append(gather_global(samples))
-        all_gts.append(gather_batch(batch)["cloud"])
-        all_labels.append(gather_global(labels))
+        all_samples.append(trim(gather_global(samples)))
+        # gather only the key we keep (images would be ~160x the
+        # payload); host batches are unpadded, so no trim
+        all_gts.append(gather_batch({"cloud": batch["cloud"]})["cloud"])
+        all_labels.append(trim(gather_global(labels)))
     return (
         np.concatenate(all_samples),
         np.concatenate(all_gts),

@@ -349,3 +349,30 @@ class TestPrefetch:
 
         with _pytest.raises(RuntimeError, match="boom"):
             list(loader)
+
+
+def test_place_batch_uneven_trim():
+    """Uneven final batches: pad to the shard multiple, trim removes
+    exactly the pad rows from gathered arrays."""
+    import jax
+
+    from go_with_the_flows_tpu.parallel.mesh import (
+        make_mesh, place_batch_uneven, gather_global,
+    )
+
+    mesh = make_mesh()  # 8 virtual devices, data axis 8
+    batch = {"cloud": np.arange(10 * 3 * 4, dtype=np.float32)
+             .reshape(10, 3, 4)}
+    with jax.set_mesh(mesh):
+        dev, trim = place_batch_uneven(mesh, batch)
+        assert dev["cloud"].shape[0] == 16  # padded to the 8-multiple
+        gathered = gather_global(dev["cloud"])
+    out = trim(gathered)
+    np.testing.assert_array_equal(out, batch["cloud"])
+
+    # already divisible: placement and trim are identity-shaped
+    batch8 = {"cloud": np.ones((8, 3, 4), np.float32)}
+    with jax.set_mesh(mesh):
+        dev, trim = place_batch_uneven(mesh, batch8)
+    assert dev["cloud"].shape[0] == 8
+    assert trim(np.ones((8, 3, 4))).shape == (8, 3, 4)

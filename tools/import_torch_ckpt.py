@@ -124,13 +124,21 @@ def main(argv=None):
     check("batch_stats", variables["batch_stats"],
           jax.tree.map(np.asarray, state.batch_stats))
 
+    def cast_checked(t, v):
+        v = np.asarray(v, dtype=t.dtype)
+        # exact-shape assert, NOT reshape: a reshape would silently
+        # accept same-size wrong-shape leaves (e.g. an untransposed
+        # square kernel) and produce a scrambled checkpoint
+        assert v.shape == t.shape, (v.shape, t.shape)
+        return v
+
     state = state.replace(
         params=jax.tree.map(
-            lambda t, v: np.asarray(v, dtype=t.dtype).reshape(t.shape),
+            cast_checked,
             jax.tree.map(np.asarray, state.params), variables["params"],
         ),
         batch_stats=jax.tree.map(
-            lambda t, v: np.asarray(v, dtype=t.dtype).reshape(t.shape),
+            cast_checked,
             jax.tree.map(np.asarray, state.batch_stats),
             variables["batch_stats"],
         ),
