@@ -1,10 +1,18 @@
-"""Benchmark: 2048-pt cloud sampling + eval throughput per chip.
+"""Benchmark: 2048-pt cloud sampling + eval throughput per chip, plus
+training-step throughput.
 
 Measures the BASELINE.json north-star metric — clouds/sec/chip for the
 flagship airplane generative model: sample a batch of labeled 2048-point
 clouds (prior flow forward + K vmapped decoder flows + categorical gather)
 AND evaluate each against a reference batch (bidirectional Chamfer), all
 in one jitted program on the current default device.
+
+The headline runs at the EVAL-path default matmul precision, 'high'
+(3-pass bf16-split, ~f32 accuracy — promoted after the round-2 drift
+audit measured tpu-high tensor drift equal to tpu-highest and the
+end-metric A/B showed identical protocol numbers; see RESULTS.md).
+Training keeps the fp32 'highest' default; its throughput is reported
+separately.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "clouds/sec/chip",
@@ -19,14 +27,20 @@ with FLOPs/MFU accounting fields:
     to XLA's cost analysis, so it is accounted analytically);
   - sustained_tflops: (model + chamfer) FLOPs / measured second;
   - mfu: sustained_tflops / chip peak (bf16 peak from the device-kind
-    table below — conservative: the model's matmuls run fp32-HIGHEST,
-    whose achievable peak is ~1/3 of bf16);
+    table below);
   - sample_frac: fraction of step time in sampling (vs Chamfer eval),
     measured with a sample-only program;
   - emd_clouds_per_sec: the sample + CD + EMD variant (9-level auction
     EMD is ~35x the Chamfer arithmetic, so this is the expensive eval);
+  - highest_clouds_per_sec: sample + CD at fp32 'highest' (the old
+    parity-first default, kept for comparability with BENCH_r01/r02);
   - fast_mode_clouds_per_sec: sample + CD with 'fast' (bf16) model
-    matmuls — the throughput opt-in (metric kernels stay HIGHEST).
+    matmuls — the max-throughput opt-in (metric kernels stay HIGHEST);
+  - train_clouds_per_sec / train_step_ms / train_mfu: jitted flagship
+    training step (B=64, fwd+bwd+adam at 'highest'), fori_loop-timed
+    with the same honest fetch sync. train_mfu counts decoder fwd+bwd
+    FLOPs only (3x forward; encoder/prior/optimizer excluded), so it
+    UNDERSTATES utilization slightly.
 
 vs_baseline is the speedup over the CPU baseline measured on the dev box
 (1-core CPU, same program, see CPU_BASELINE_CLOUDS_PER_SEC provenance);
@@ -45,6 +59,16 @@ try:
     jax.devices()
 except RuntimeError:
     jax.config.update("jax_platforms", "")
+import os as _os
+
+# persistent compilation cache: the bench compiles ~5 full-scale programs;
+# warm runs are exec-only (compiles over the tunnel are minutes-scale)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                  ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax.numpy as jnp
 
 from go_with_the_flows_tpu.models.mixture import FlowMixtureModel
@@ -96,6 +120,56 @@ def _chip_peak_flops() -> float:
         if kind.startswith(key):
             return peak
     return 197e12  # default: v5e-class
+
+
+TRAIN_B = 64  # flagship per-chip training batch (scripts/train_*.sh)
+
+
+def _train_bench(model):
+    """Flagship jitted train-step throughput (clouds/sec, ms/step) at the
+    training default ('highest'), fori_loop-timed with a fetch sync —
+    the same honest protocol as `timed` below."""
+    from go_with_the_flows_tpu.ops.precision import matmul_precision_scope
+    from go_with_the_flows_tpu.optim import make_optimizer
+    from go_with_the_flows_tpu.train.state import create_train_state
+    from go_with_the_flows_tpu.train.step import make_train_step
+
+    batch_b = TRAIN_B if jax.default_backend() == "tpu" else 8
+    rng = np.random.RandomState(0)
+    batch = {
+        "cloud": (rng.randn(batch_b, 3, N) * 0.2).astype(np.float32),
+        "eval_cloud": (rng.randn(batch_b, 3, N) * 0.2).astype(np.float32),
+    }
+    n_iters = 2 if jax.default_backend() == "cpu" else 10
+    with matmul_precision_scope("highest"):
+        opt = make_optimizer(
+            epoch_length=100, cycle_length=4, min_lr=1e-4, max_lr=2.56e-4,
+            beta1=0.9, min_beta2=0.99, max_beta2=0.99, wd=1e-6,
+        )
+        state = create_train_state(model, jax.random.PRNGKey(0), batch, opt)
+        step = make_train_step(model, opt)
+        g = jnp.asarray(batch["cloud"])
+        p = jnp.asarray(batch["eval_cloud"])
+
+        @jax.jit
+        def run(state, key, g, p):
+            def body(i, carry):
+                st, acc = carry
+                st, m = step(st, g, p, jax.random.fold_in(key, i),
+                             warmup=False)
+                return st, acc + m["loss"]
+
+            return jax.lax.fori_loop(
+                0, n_iters, body, (state, jnp.float32(0.0))
+            )
+
+        _, chk = run(state, jax.random.PRNGKey(2), g, p)
+        float(chk)  # compile + fetch sync
+        start = time.perf_counter()
+        _, chk = run(state, jax.random.PRNGKey(3), g, p)
+        float(chk)
+        dt = (time.perf_counter() - start) / n_iters
+    return batch_b / dt, dt * 1e3
 
 
 def main(measure_only: bool = False):
@@ -180,29 +254,38 @@ def main(measure_only: bool = False):
         float(run(params, batch_stats, jax.random.PRNGKey(3), *args))
         return batch * n_iters / (time.perf_counter() - start)
 
-    clouds_per_sec = timed(sample_and_eval, ref)
-    if measure_only:
-        print(f"# measured {clouds_per_sec:.3f} clouds/sec on "
-              f"{jax.default_backend()}")
-        return
-    sample_per_sec = timed(sample_only)
-    emd_per_sec = timed(sample_and_eval_emd, ref)
-
-    # 'fast' matmul-precision variant (bf16 model matmuls; the metric
-    # kernels pin HIGHEST regardless): the sampling chain is MXU-bound,
-    # so precision passes translate ~directly to throughput
     from go_with_the_flows_tpu.ops.precision import matmul_precision_scope
 
-    with matmul_precision_scope("fast"):
+    # the model precision is read at TRACE time (first call), so both
+    # the jit construction AND the timed first call sit inside the scope
+    with matmul_precision_scope("high"):  # eval-path default
+        clouds_per_sec = timed(sample_and_eval, ref)
+        if measure_only:
+            print(f"# measured {clouds_per_sec:.3f} clouds/sec on "
+                  f"{jax.default_backend()}")
+            return
+        sample_per_sec = timed(sample_only)
+        emd_per_sec = timed(sample_and_eval_emd, ref)
+
+    def cd_variant():
         @jax.jit
-        def sample_and_eval_fast(params, batch_stats, key, ref_clouds):
+        def sample_and_eval_v(params, batch_stats, key, ref_clouds):
             samples, labels = sample(params, batch_stats, key)
             gen = jnp.transpose(samples, (0, 2, 1))
             cd_fn = chamfer_pallas if on_tpu else chamfer
             dl, dr = cd_fn(gen, ref_clouds)
             return samples, labels, jnp.mean(dl, 1) + jnp.mean(dr, 1)
 
-        fast_per_sec = timed(sample_and_eval_fast, ref)
+        return sample_and_eval_v
+
+    # fp32 'highest' (parity-first; comparable with BENCH_r01/r02) and
+    # 'fast' (bf16, max throughput); metric kernels pin HIGHEST in all
+    with matmul_precision_scope("highest"):
+        highest_per_sec = timed(cd_variant(), ref)
+    with matmul_precision_scope("fast"):
+        fast_per_sec = timed(cd_variant(), ref)
+
+    train_per_sec, train_step_ms = _train_bench(model)
 
     # FLOPs accounting (see module docstring). The decoder flops are
     # ANALYTIC: XLA's cost analysis counts a while/scan body once, not
@@ -225,12 +308,18 @@ def main(measure_only: bool = False):
     sustained = per_cloud * clouds_per_sec
     peak = _chip_peak_flops()
 
+    # training MFU: decoder fwd+bwd ~ 3x forward FLOPs per cloud (the
+    # standard fwd/bwd accounting), encoder/prior/optimizer excluded
+    train_flops_per_cloud = 3.0 * model_flops
+    train_sustained = train_flops_per_cloud * train_per_sec
+
     print(json.dumps({
         "metric": "2048-pt clouds/sec/chip (sample + CD eval)",
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / CPU_BASELINE_CLOUDS_PER_SEC, 2),
         "emd_clouds_per_sec": round(emd_per_sec, 2),
+        "highest_clouds_per_sec": round(highest_per_sec, 2),
         "fast_mode_clouds_per_sec": round(fast_per_sec, 2),
         "sample_only_clouds_per_sec": round(sample_per_sec, 2),
         "sample_frac": round(clouds_per_sec / max(sample_per_sec, 1e-9), 4),
@@ -239,6 +328,9 @@ def main(measure_only: bool = False):
         "sustained_tflops": round(sustained / 1e12, 2),
         "chip_peak_bf16_tflops": round(peak / 1e12, 1),
         "mfu": round(sustained / peak, 4),
+        "train_clouds_per_sec": round(train_per_sec, 2),
+        "train_step_ms": round(train_step_ms, 2),
+        "train_mfu": round(train_sustained / peak, 4),
         "device_kind": jax.devices()[0].device_kind,
     }))
 

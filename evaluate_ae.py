@@ -72,7 +72,14 @@ def main():
     config = load_config(os.path.join(args.experiment_path, "config.yaml"))
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 
-    set_matmul_precision(config.get("matmul_precision", "highest"))
+    # eval-path default is 'high' (3-pass bf16-split, ~f32 accuracy at
+    # ~2x sampling throughput — promoted after the round-2/3 drift audit
+    # and end-metric A/B, see RESULTS.md); `eval_matmul_precision` (or a
+    # legacy `matmul_precision`) in the experiment config overrides
+    set_matmul_precision(
+        config.get("eval_matmul_precision",
+                   config.get("matmul_precision", "high"))
+    )
     config["logging_path"] = args.experiment_path
     config["model_name"] = args.modelname
     config["cloud_size"] = args.cloud_size

@@ -7,9 +7,13 @@ dataset (DistributedSampler semantics: seeded permutation, padded to a
 multiple of world size, round-robin split), collates numpy batches, and
 hands (B, 3, N) clouds / (B, H, W, C) images to the device step.
 
-Workers: `num_workers > 0` uses a process pool (fork) for the CPU-hot
-surface sampling; HDF5 handles are opened lazily per worker (the
-reference's SWMR-per-worker pattern, datasets.py:75-76).
+Workers: `num_workers > 0` uses a THREAD pool for the CPU-hot surface
+sampling (numpy releases the GIL on the large-array ops; h5py serializes
+its own calls behind its global lock). A fork-based process pool under a
+multithreaded JAX host is the CPython-documented deadlock hazard — the
+child inherits held locks — and the native batched sampler
+(csrc/sampler.cpp) covers the true multi-core need, so it takes priority
+over the pool whenever it is available.
 """
 
 from __future__ import annotations
@@ -22,20 +26,6 @@ from typing import Iterator, Optional
 import numpy as np
 
 _END = object()  # sentinel: producer finished
-
-_WORKER_DATASET = None
-
-
-def _worker_init(dataset):
-    global _WORKER_DATASET
-    _WORKER_DATASET = dataset
-
-
-def _worker_get(job):
-    epoch, i = job
-    if hasattr(_WORKER_DATASET, "set_epoch"):
-        _WORKER_DATASET.set_epoch(int(epoch))
-    return _WORKER_DATASET[int(i)]
 
 
 def _collate(samples, image_nhwc=True):
@@ -110,30 +100,25 @@ class DataLoader:
 
     def _get_pool(self):
         if self._pool is None and self.num_workers > 0:
-            import multiprocessing as mp
+            from multiprocessing.pool import ThreadPool
 
-            ctx = mp.get_context("fork")
-            self._pool = ctx.Pool(
-                self.num_workers,
-                initializer=_worker_init,
-                initargs=(self.dataset,),
-            )
+            self._pool = ThreadPool(self.num_workers)
         return self._pool
 
     def _assemble(self, chunk) -> dict:
-        pool = self._get_pool()
         samples = None
-        if pool is not None:
-            # thread the epoch through: forked workers hold a snapshot
-            # of the dataset, so set_epoch must travel with each job
-            samples = pool.map(
-                _worker_get, [(self.epoch, i) for i in chunk]
-            )
-        elif hasattr(self.dataset, "get_batch"):
-            # native multithreaded batch sampling fast path
+        if hasattr(self.dataset, "get_batch"):
+            # native multithreaded batch sampling fast path — already
+            # multi-core, so it beats any Python-side pool
             samples = self.dataset.get_batch(chunk)
         if samples is None:
-            samples = [self.dataset[int(i)] for i in chunk]
+            pool = self._get_pool()
+            if pool is not None:
+                samples = pool.map(
+                    lambda i: self.dataset[int(i)], list(chunk)
+                )
+            else:
+                samples = [self.dataset[int(i)] for i in chunk]
         return _collate(samples, self.image_nhwc)
 
     def __iter__(self) -> Iterator[dict]:
@@ -150,11 +135,6 @@ class DataLoader:
 
         # double-buffered background assembly: the bounded queue holds up
         # to `prefetch` ready batches; the producer blocks when ahead.
-        # The fork-based worker pool must be created HERE on the main
-        # thread: forking from the producer thread while the main thread
-        # runs JAX inherits held locks into the child (deadlock hazard
-        # CPython itself warns about).
-        self._get_pool()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

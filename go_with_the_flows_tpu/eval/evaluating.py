@@ -161,10 +161,14 @@ def evaluate(
         else:
             samples, labels, _ = sample_step(state, g_clouds, key)
         jax.block_until_ready(samples)
-        bsz = samples.shape[0]
         # timer stops BEFORE the cross-host gathers: 'Inference time' is
-        # the model cost (reference evaluating.py:86-98), not transfer
-        inf_time.update((time() - inf_start) / bsz, bsz)
+        # the model cost (reference evaluating.py:86-98), not transfer.
+        # Normalized by the REAL global row count (pre-pad host rows x
+        # processes) — samples.shape[0] counts the uneven-tail pad rows
+        # and wrap-duplicates as real samples and understates the time
+        real_rows = (int(next(iter(batch.values())).shape[0])
+                     * jax.process_count())
+        inf_time.update((time() - inf_start) / real_rows, real_rows)
         samples = trim(gather_global(samples))
         labels = trim(gather_global(labels))
         # host batches are NEVER padded — gather_batch output is already
@@ -249,12 +253,18 @@ def evaluate(
         gen = np.transpose(np.concatenate(gen_buf), (0, 2, 1))
         ref = np.transpose(np.concatenate(ref_buf), (0, 2, 1))
 
-        # NaN-cloud replacement (evaluating.py:196-202)
+        # NaN-cloud replacement (evaluating.py:196-202). Seeded from the
+        # eval rng (the reference uses the global np.random state, which
+        # makes the reps-level mean±std non-reproducible in the NaN case)
         all_inds = set(range(gen.shape[0]))
         nan_inds = set(np.isnan(gen).sum(axis=(1, 2)).nonzero()[0])
         if nan_inds:
             ok = list(all_inds - nan_inds)
-            dup = np.random.choice(ok, size=len(nan_inds))
+            key = (jax.random.key_data(rng)
+                   if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                   else rng)
+            seed = int(np.asarray(key).ravel()[-1])
+            dup = np.random.default_rng(seed).choice(ok, size=len(nan_inds))
             gen[list(nan_inds)] = gen[dup]
 
         if kwargs.get("jsd"):

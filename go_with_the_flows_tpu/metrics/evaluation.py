@@ -28,8 +28,9 @@ from ..ops.emd import emd_approx
 def _pallas_eligible(n: int, m: int) -> bool:
     """Use the fused Pallas kernels on TPU when clouds are big enough to
     beat dispatch overhead; the kernels pad internally so any size works
-    (incl. the SVR protocol's 2500 points). Tiny shapes stay on XLA."""
-    return jax.default_backend() == "tpu" and n == m and n >= 512
+    (incl. the SVR protocol's 2500 points and cross-size pairs like
+    2048 vs 2500). Tiny shapes stay on XLA."""
+    return jax.default_backend() == "tpu" and min(n, m) >= 512
 
 
 @functools.partial(
@@ -119,27 +120,40 @@ def pairwise_EMD_CD_F1(
     emd_option: bool = False,
     f1_option: bool = False,
     verbose: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     """Full (N_sample, N_ref) metric matrices (reference
     evaluation_metrics.py:103-176, _pairwise_EMD_CD_F1_SCORE).
 
-    TPU-first restructuring: instead of the reference's one-sample-vs-
-    ref-chunk dispatches, multiple samples are tiled against the ref
-    chunk in a single (S*R)-pair program — the per-pair kernels are
-    dispatch-latency bound, so batching dispatches is a ~10x wall-clock
-    win on the full matrices while producing identical entries.
+    TPU-first restructuring: the pair loop runs ON CHIP — one Pallas
+    grid program per (sample row-chunk x full ref set), with each
+    sample cloud resident in VMEM across its whole matrix row
+    (ops/pallas/pairwise_kernel.py). No broadcast pair copies exist in
+    HBM and the dispatch count drops to n_sample / chunk, while the
+    per-pair arithmetic (and hence every matrix entry) is identical to
+    the per-pair kernels. Off-TPU (or for tiny clouds) the XLA
+    per-pair-batch path is used instead.
+
+    `use_pallas`: None = auto (TPU + big-enough clouds); tests force it
+    with interpret-mode kernels on CPU.
     """
     n_sample = sample_pcs.shape[0]
     n_ref = ref_pcs.shape[0]
+
+    if use_pallas is None:
+        use_pallas = _pallas_eligible(sample_pcs.shape[1],
+                                      ref_pcs.shape[1])
+    if use_pallas:
+        return _pairwise_pallas_grid(
+            sample_pcs, ref_pcs, f1_threshold, emd_option, verbose,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     cdl_m = np.zeros((n_sample, n_ref), np.float32)
     cdr_m = np.zeros((n_sample, n_ref), np.float32)
     emd_m = np.zeros((n_sample, n_ref), np.float32)
     f1_m = np.zeros((n_sample, n_ref), np.float32)
-
-    use_pallas = _pallas_eligible(sample_pcs.shape[1], ref_pcs.shape[1])
-    # pair budget per dispatch: the Pallas kernels hold no (pairs, N, M)
-    # HBM buffers, so they afford much larger dispatches than XLA
-    max_pairs = 512 if use_pallas else max(batch_size, 60)
+    max_pairs = max(batch_size, 60)
     samples_per_call = max(1, max_pairs // max(batch_size, 1))
 
     sample_dev = jnp.asarray(sample_pcs)
@@ -158,7 +172,7 @@ def pairwise_EMD_CD_F1(
                 ref_dev[None, s:e], (S, R) + ref_pcs.shape[1:]
             ).reshape(S * R, *ref_pcs.shape[1:])
             cdl, cdr, emd, f1 = _paired_stats(tiled, chunk, f1_threshold,
-                                              use_pallas, emd_option)
+                                              False, emd_option)
             cdl_m[i0:i1, s:e] = np.asarray(cdl).reshape(S, R)
             cdr_m[i0:i1, s:e] = np.asarray(cdr).reshape(S, R)
             if emd_option:
@@ -168,6 +182,53 @@ def pairwise_EMD_CD_F1(
             print(f"pairwise: {i1}/{n_sample}")
     cd_m = cdl_m + cdr_m
     return cd_m, emd_m, f1_m, cdl_m, cdr_m
+
+
+# pairs per dispatch for the on-chip grid: bounds single-dispatch
+# runtime (~20 s at 2048-pt EMD pace) so long protocol runs stay
+# responsive; outputs are scalars so memory is never a constraint
+_GRID_PAIR_BUDGET = 16384
+
+
+def _pairwise_pallas_grid(sample_pcs, ref_pcs, f1_threshold: float,
+                          emd_option: bool, verbose: bool,
+                          interpret: bool):
+    """On-chip (S-chunk x R) pairwise matrices via the grid kernels."""
+    from ..ops.pallas.pairwise_kernel import (
+        pairwise_cd_stats_pallas,
+        pairwise_emd_pallas,
+    )
+
+    n_sample = sample_pcs.shape[0]
+    n_ref = ref_pcs.shape[0]
+    n_pts = sample_pcs.shape[1]
+    cdl_m = np.zeros((n_sample, n_ref), np.float32)
+    cdr_m = np.zeros((n_sample, n_ref), np.float32)
+    emd_m = np.zeros((n_sample, n_ref), np.float32)
+    f1_m = np.zeros((n_sample, n_ref), np.float32)
+
+    s_chunk = max(1, _GRID_PAIR_BUDGET // max(n_ref, 1))
+    sample_dev = jnp.asarray(sample_pcs)
+    ref_dev = jnp.asarray(ref_pcs)
+    for i0 in range(0, n_sample, s_chunk):
+        i1 = min(n_sample, i0 + s_chunk)
+        cdl, cdr, prec, rec = pairwise_cd_stats_pallas(
+            sample_dev[i0:i1], ref_dev, f1_threshold,
+            interpret=interpret,
+        )
+        cdl_m[i0:i1] = np.asarray(cdl)
+        cdr_m[i0:i1] = np.asarray(cdr)
+        prec = np.asarray(prec)
+        rec = np.asarray(rec)
+        f1_m[i0:i1] = 2.0 * prec * rec / (prec + rec + 1e-7)
+        if emd_option:
+            emd_m[i0:i1] = np.asarray(
+                pairwise_emd_pallas(sample_dev[i0:i1], ref_dev,
+                                    interpret=interpret)
+            ) / n_pts
+        if verbose:
+            print(f"pairwise: {i1}/{n_sample}")
+    return cdl_m + cdr_m, emd_m, f1_m, cdl_m, cdr_m
 
 
 def knn_two_sample(Mxx, Mxy, Myy, k: int = 1) -> Dict[str, float]:

@@ -22,6 +22,7 @@ Modes (reference `util_mode`): 'training', 'autoencoding', 'generating',
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -419,6 +420,22 @@ class FlowMixtureModel(nn.Module):
         dec_vars = self.pc_decoder.variables
         if not dec_vars.get("params"):  # absent during model.init
             return None
+
+        # pallas_call has no GSPMD partitioning rule: under a >1-device
+        # mesh (evaluate_ae.py wraps everything in jax.set_mesh) the
+        # kernel must be wrapped in shard_map over the 'data' axis so
+        # each device runs it on its own batch shard — otherwise XLA
+        # would all-gather the global batch through one device's kernel,
+        # losing the data parallelism the multi-host eval path provides.
+        mesh = jax.sharding.get_abstract_mesh()
+        shard_data = not mesh.empty and mesh.size > 1
+        if shard_data:
+            if ("data" not in mesh.axis_names
+                    or mesh.size != mesh.shape.get("data", 0)):
+                # batch sharded over an unknown layout (e.g. a real
+                # 'points' axis): the XLA path partitions any spec
+                return None
+
         from ..ops.pallas.coupling_kernel import (
             film_alpha_beta,
             fused_point_decode,
@@ -433,11 +450,26 @@ class FlowMixtureModel(nn.Module):
         ab = jax.vmap(film_alpha_beta, in_axes=(0, None))(
             packed, g_sample
         )
-        return fused_point_decode(
-            packed, ab, p_stack,
+        decode = functools.partial(
+            fused_point_decode,
             interpret=jax.default_backend() != "tpu",
             inverse=inverse,
         )
+        if shard_data:
+            from jax.sharding import PartitionSpec as P
+
+            bspec = P(None, "data")  # (K, B, ...) batch axis
+            # check_vma=False: pallas_call out_shapes carry no
+            # varying-mesh-axes annotation, and the kernel is per-shard
+            # pointwise over the batch anyway
+            decode = jax.shard_map(
+                decode, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(), packed), bspec,
+                          bspec),
+                out_specs=(bspec, bspec),
+                check_vma=False,
+            )
+        return decode(packed, ab, p_stack)
 
     def _decode_direct_eval(self, base, g_sample):
         """Direct eval-mode decode (the sampling hot path)."""

@@ -55,7 +55,14 @@ def _masked_argmin(d, m, axis, base):
     return jnp.min(keep, axis=axis, keepdims=True) + base
 
 
-def _nn_kernel(a_ref, b_ref, dl_ref, il_ref, dr_ref, ir_ref):
+def _nn_kernel(save_idx, a_ref, b_ref, *out_refs):
+    if save_idx:
+        dl_ref, il_ref, dr_ref, ir_ref = out_refs
+    else:
+        # forward-only variant (the metric hot loop differentiates
+        # nothing): skips the argmin VPU passes and the index HBM writes
+        dl_ref, dr_ref = out_refs
+        il_ref = ir_ref = None
     a = a_ref[0]  # (N, 3)
     n = a.shape[0]
     m = b_ref.shape[1]
@@ -67,6 +74,8 @@ def _nn_kernel(a_ref, b_ref, dl_ref, il_ref, dr_ref, ir_ref):
         col_min = jnp.min(d, axis=0, keepdims=True)  # (1, T)
         sl = pl.ds(t * _TILE_M, _TILE_M)
         dr_ref[0, :, sl] = col_min
+        if not save_idx:
+            return jnp.minimum(dl, jnp.min(d, axis=1, keepdims=True).T), il
         ir_ref[0, :, sl] = _masked_argmin(d, col_min, 0, 0)
         # row minima: carried across tiles; strict < keeps the first
         # (lowest-index) occurrence, matching argmin semantics
@@ -83,7 +92,8 @@ def _nn_kernel(a_ref, b_ref, dl_ref, il_ref, dr_ref, ir_ref):
         ),
     )
     dl_ref[0] = dl
-    il_ref[0] = il
+    if save_idx:
+        il_ref[0] = il
 
 
 def _pad_cloud(x, target: int):
@@ -94,11 +104,14 @@ def _pad_cloud(x, target: int):
     return jnp.concatenate([x, pad], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def nn_distance_pallas(a: jax.Array, b: jax.Array, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "with_idx"))
+def nn_distance_pallas(a: jax.Array, b: jax.Array, interpret: bool = False,
+                       with_idx: bool = True):
     """(dist_a (B,N), idx_a (B,N), dist_b (B,M), idx_b (B,M)) — the
     reference NNDistance signature (structural_loss.cpp:80-99), fused.
-    Any N/M (clouds are sentinel-padded to tile-aligned sizes)."""
+    Any N/M (clouds are sentinel-padded to tile-aligned sizes).
+    `with_idx=False` returns (dist_a, dist_b) only, skipping the argmin
+    passes — the forward-only metric path."""
     B, N, _ = a.shape
     M = b.shape[1]
     n_pad = _round_up(N, 8)  # f32 sublane multiple
@@ -106,8 +119,23 @@ def nn_distance_pallas(a: jax.Array, b: jax.Array, interpret: bool = False):
     a = _pad_cloud(a.astype(jnp.float32), n_pad)
     b = _pad_cloud(b.astype(jnp.float32), m_pad)
 
-    dl, il, dr, ir = pl.pallas_call(
-        _nn_kernel,
+    def spec(p):
+        return pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def shape(p, dt):
+        return jax.ShapeDtypeStruct((B, 1, p), dt)
+
+    if with_idx:
+        out_specs = [spec(n_pad), spec(n_pad), spec(m_pad), spec(m_pad)]
+        out_shape = [shape(n_pad, jnp.float32), shape(n_pad, jnp.int32),
+                     shape(m_pad, jnp.float32), shape(m_pad, jnp.int32)]
+    else:
+        out_specs = [spec(n_pad), spec(m_pad)]
+        out_shape = [shape(n_pad, jnp.float32), shape(m_pad, jnp.float32)]
+
+    out = pl.pallas_call(
+        functools.partial(_nn_kernel, with_idx),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, n_pad, 3), lambda i: (i, 0, 0),
@@ -115,25 +143,15 @@ def nn_distance_pallas(a: jax.Array, b: jax.Array, interpret: bool = False):
             pl.BlockSpec((1, m_pad, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, m_pad), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(a, b)
-    return dl[:, 0, :N], il[:, 0, :N], dr[:, 0, :M], ir[:, 0, :M]
+    if with_idx:
+        dl, il, dr, ir = out
+        return dl[:, 0, :N], il[:, 0, :N], dr[:, 0, :M], ir[:, 0, :M]
+    dl, dr = out
+    return dl[:, 0, :N], dr[:, 0, :M]
 
 
 def _scatter_add(idx, upd, length: int):
@@ -149,8 +167,10 @@ def _scatter_add(idx, upd, length: int):
 def _make_diff_chamfer(interpret: bool):
     @jax.custom_vjp
     def f(a, b):
-        dl, _, dr, _ = nn_distance_pallas(a, b, interpret=interpret)
-        return dl, dr
+        # primal (undifferentiated) path — the metric hot loop: the
+        # forward-only kernel variant, no argmin passes / index writes
+        return nn_distance_pallas(a, b, interpret=interpret,
+                                  with_idx=False)
 
     def fwd(a, b):
         dl, ia, dr, ib = nn_distance_pallas(a, b, interpret=interpret)

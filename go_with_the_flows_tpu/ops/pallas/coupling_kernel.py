@@ -190,9 +190,10 @@ def _kernel_precision_mode() -> str:
     (ops/precision.py): 'highest' (6 f32 MXU passes) for parity, 'high'
     (3 passes — emulated, see _mxdot) at ~f32 accuracy, 'fast' (one
     bf16 pass) as the throughput opt-in — the fused chain is MXU-bound,
-    so passes translate ~directly to sampling throughput. Resolved
-    OUTSIDE the kernel's jit and passed as a static argument: a
-    jit-cached trace must not pin a stale mode."""
+    so passes translate ~directly to sampling throughput. The mode is
+    read at TRACE time of whichever jit encloses the call (same
+    semantics as ops/precision.py): an already-compiled outer step keeps
+    the mode it was traced with; set the knob before building steps."""
     mode = get_matmul_precision()
     if mode in ("fast", "default"):
         return "fast"

@@ -10,11 +10,19 @@ HIGHEST unconditionally — CD is reported at the 1e-4 scale, where bf16
 passes are ~20% off.
 
 Modes:
-  * "highest" (default): full fp32 passes — parity-first. The measured
-    on-TPU drift and the throughput cost of this default are published in
-    RESULTS.md ("On-TPU numerical parity audit").
-  * "high": bf16x3 passes (~f32 accuracy, faster).
-  * "fast": the hardware default (bf16 passes) — throughput opt-in.
+  * "highest": full fp32 passes — parity-first. The TRAINING default
+    (train_ae.py / train_svr.py). The measured on-TPU drift and the
+    throughput cost are published in RESULTS.md ("On-TPU numerical
+    parity audit").
+  * "high": bf16x3 passes (~f32 accuracy, ~2x sampling throughput).
+    The EVAL/SAMPLING default (evaluate_ae.py / reconstruct_ae.py /
+    bench.py): the drift audit measured tpu-high tensor drift equal to
+    tpu-highest, and the end-metric A/B shows identical protocol
+    numbers (RESULTS.md).
+  * "fast": the hardware default (bf16 passes) — max-throughput opt-in.
+
+The module-level default stays "highest" so library users get parity
+unless a CLI/scope says otherwise.
 
 The knob is read at TRACE time: set it (or enter the scope) BEFORE
 building/jitting step functions. Already-compiled functions keep the

@@ -54,6 +54,8 @@ def train(
     writer=None,
     svr: bool = False,
     mesh=None,
+    per_step_tb: bool = False,
+    svr_recon_fn: Optional[Callable] = None,
     **config,
 ) -> TrainState:
     """One training epoch. Returns the updated state.
@@ -63,11 +65,25 @@ def train(
     make_array_from_process_local_data) — the data-parallel path.
     Metrics are fetched one step behind so the host never blocks on the
     in-flight device step.
+
+    SVR instrumentation (reference training.py:248-254, 269-291):
+    `per_step_tb` writes the running loss/PNLL/GNLL/GENT averages at
+    every global step; `svr_recon_fn(state) -> (samples, gts, labels,
+    images)` is called on the checkpoint cadence (with `logging_img`)
+    and its output logged as SVR reconstruction figures with the
+    conditioning image.
     """
     num_workers = max(int(config.get("num_workers", 1)), 1)
     logging = config.get("logging", False)
     logging_path = config.get("logging_path", ".")
     model_name = config.get("model_name", "model.ckpt")
+    # figure/checkpoint cadence: reference hardcodes 100*num_workers
+    # steps (training.py:257); configurable so short runs can see it
+    ckpt_steps = int(config.get("logging_img_steps", 100 * num_workers))
+    # --profile <dir>: capture a jax.profiler device trace of steps
+    # [1, profile_steps] (step 0 is the compile) into profile_dir
+    profile_dir = config.get("profile_dir") or None
+    profile_steps = max(int(config.get("profile_steps", 3)), 1)
 
     batch_time = AverageMeter()
     data_time = AverageMeter()
@@ -86,51 +102,91 @@ def train(
             )
         for k in meters:
             meters[k].update(m[k], bsz)
+        if per_step_tb and writer is not None and logging:
+            # running averages per global step (training.py:248-254)
+            step = epoch * n_batches + it + 1
+            writer.add_scalar("train/loss", meters["loss"].avg, step)
+            writer.add_scalar("train/PNLL", meters["pnll"].avg, step)
+            writer.add_scalar("train/GNLL", meters["gnll"].avg, step)
+            writer.add_scalar("train/GENT", meters["gent"].avg, step)
 
     loader.set_epoch(epoch)
     n_batches = len(loader)
     pending = None  # (metrics, bsz, it) of the in-flight step
     end = time.time()
-    for i, batch in enumerate(loader):
-        it = start_iter + i
-        if it >= n_batches:
-            break
-        data_time.update(time.time() - end)
+    import contextlib
 
-        dev = put(batch)
-        g, p = dev["cloud"], dev["eval_cloud"]
-        if svr:
-            state, metrics = train_step(
-                state, g, p, rng, images=dev["image"], warmup=warmup
-            )
-        else:
-            state, metrics = train_step(state, g, p, rng, warmup=warmup)
+    from ..utils import profiling
 
-        if pending is not None:
-            consume(*pending)  # blocks on the PREVIOUS step only
-        pending = (metrics, g.shape[0], it)
-        batch_time.update(time.time() - end)
-        end = time.time()
+    trace_scope = contextlib.ExitStack()
+    try:
+        for i, batch in enumerate(loader):
+            it = start_iter + i
+            if it >= n_batches:
+                break
+            data_time.update(time.time() - end)
 
-        if (it + 1) % num_workers == 0 and logging:
-            line = (
-                f"Epoch: [{epoch + 1}][{it + 1}/{n_batches}]"
-                f"\tTime {batch_time.val:.3f} ({batch_time.avg:.3f})"
-                f"\tData {data_time.val:.3f} ({data_time.avg:.3f})"
-                f"\tLB {meters['loss'].val:.2f} ({meters['loss'].avg:.2f})"
-                f"\tPNLL {meters['pnll'].val:.2f} ({meters['pnll'].avg:.2f})"
-                f"\tGNLL {meters['gnll'].val:.2f} ({meters['gnll'].avg:.2f})"
-                f"\tGENT {meters['gent'].val:.2f} ({meters['gent'].avg:.2f})\n"
-            )
-            sys.stdout.write(line)
-            sys.stdout.flush()
+            if profile_dir and i == 1:  # step 0 was the compile
+                trace_scope.enter_context(profiling.trace(profile_dir))
+            dev = put(batch)
+            g, p = dev["cloud"], dev["eval_cloud"]
+            with profiling.annotate(f"train_step_{it}") \
+                    if profile_dir else contextlib.nullcontext():
+                if svr:
+                    state, metrics = train_step(
+                        state, g, p, rng, images=dev["image"], warmup=warmup
+                    )
+                else:
+                    state, metrics = train_step(state, g, p, rng,
+                                                 warmup=warmup)
+            if profile_dir and i == profile_steps:
+                jax.block_until_ready(metrics)  # traced compute completes
+                trace_scope.close()
+                profile_dir = None
 
-        if (it + 1) % (100 * num_workers) == 0 and logging:
-            save_checkpoint(logging_path, model_name, state, epoch, it + 1)
+            if pending is not None:
+                consume(*pending)  # blocks on the PREVIOUS step only
+            pending = (metrics, g.shape[0], it)
+            batch_time.update(time.time() - end)
+            end = time.time()
+
+            if (it + 1) % num_workers == 0 and logging:
+                line = (
+                    f"Epoch: [{epoch + 1}][{it + 1}/{n_batches}]"
+                    f"\tTime {batch_time.val:.3f} ({batch_time.avg:.3f})"
+                    f"\tData {data_time.val:.3f} ({data_time.avg:.3f})"
+                    f"\tLB {meters['loss'].val:.2f}"
+                    f" ({meters['loss'].avg:.2f})"
+                    f"\tPNLL {meters['pnll'].val:.2f}"
+                    f" ({meters['pnll'].avg:.2f})"
+                    f"\tGNLL {meters['gnll'].val:.2f}"
+                    f" ({meters['gnll'].avg:.2f})"
+                    f"\tGENT {meters['gent'].val:.2f}"
+                    f" ({meters['gent'].avg:.2f})\n"
+                )
+                sys.stdout.write(line)
+                sys.stdout.flush()
+
+            if (it + 1) % ckpt_steps == 0 and logging:
+                save_checkpoint(logging_path, model_name, state, epoch,
+                                it + 1)
+                # periodic SVR reconstruction figures with the
+                # conditioning image (training.py:269-291)
+                if (svr_recon_fn is not None and writer is not None
+                        and config.get("logging_img")):
+                    from ..viz.tb import add_svr_reconstruction_tb
+
+                    samples, gts, labels, images = svr_recon_fn(state)
+                    add_svr_reconstruction_tb(
+                        images, gts, samples, labels, writer,
+                        epoch * n_batches + it + 1,
+                    )
+    finally:
+        trace_scope.close()  # epochs shorter than profile_steps
 
     if pending is not None:
         consume(*pending)
-    if logging and writer is not None:
+    if logging and writer is not None and not per_step_tb:
         writer.add_scalar("train/loss", meters["loss"].avg, epoch)
         writer.add_scalar("train/PNLL", meters["pnll"].avg, epoch)
         writer.add_scalar("train/GNLL", meters["gnll"].avg, epoch)
@@ -226,17 +282,20 @@ def reconstruct(
     max_batches: Optional[int] = None,
     svr: bool = False,
     mesh=None,
+    return_images: bool = False,
 ):
     """Labeled autoencoding/SVR reconstruction over a dataset
     (training.py:334-376) — batched, no per-shape unrolling needed thanks
     to the static mixture sampling. With `mesh`, batches are globally
     sharded and the outputs allgathered, so every process returns the
-    identical full buffers."""
+    identical full buffers. `return_images` (svr only) appends the host
+    conditioning images — the reference's SVR figure path
+    (training.py:269-291) needs them."""
     from ..parallel.mesh import (
         place_batch_uneven, gather_global, gather_batch,
     )
 
-    all_samples, all_gts, all_labels = [], [], []
+    all_samples, all_gts, all_labels, all_images = [], [], [], []
     for b, batch in enumerate(loader):
         if max_batches is not None and b >= max_batches:
             break
@@ -249,15 +308,22 @@ def reconstruct(
         else:
             samples, labels, _ = sample_step(state, dev["cloud"], key)
         all_samples.append(trim(gather_global(samples)))
-        # gather only the key we keep (images would be ~160x the
-        # payload); host batches are unpadded, so no trim
+        # gather only the keys we keep (full image buffers would be
+        # ~160x the payload); host batches are unpadded, so no trim
         all_gts.append(gather_batch({"cloud": batch["cloud"]})["cloud"])
         all_labels.append(trim(gather_global(labels)))
-    return (
+        if return_images and svr:
+            all_images.append(
+                gather_batch({"image": batch["image"]})["image"]
+            )
+    out = (
         np.concatenate(all_samples),
         np.concatenate(all_gts),
         np.concatenate(all_labels),
     )
+    if return_images and svr:
+        return out + (np.concatenate(all_images),)
+    return out
 
 
 def predict(

@@ -29,6 +29,7 @@ def resolve_config(
     cloud_random_rotate: Optional[bool] = None,
     config_path: Optional[str] = None,
     write_back: bool = True,
+    **extra,
 ) -> Dict:
     """Apply the reference's CLI-over-YAML mutations (train_ae.py:47-66):
     jobid, generated logging_path (written back into the YAML), model_name,
@@ -57,6 +58,8 @@ def resolve_config(
         config["cloud_random_rotate"] = cloud_random_rotate
     config["resume"] = bool(resume)
     config["resume_optimizer"] = bool(resume_optimizer)
+    # runtime-only extras (e.g. profile_dir) — never written back to YAML
+    config.update(extra)
     return config
 
 

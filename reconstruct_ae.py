@@ -38,7 +38,11 @@ def main():
     config = load_config(os.path.join(args.experiment_path, "config.yaml"))
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 
-    set_matmul_precision(config.get("matmul_precision", "highest"))
+    # eval-path default 'high' (see evaluate_ae.py / ops/precision.py)
+    set_matmul_precision(
+        config.get("eval_matmul_precision",
+                   config.get("matmul_precision", "high"))
+    )
     _, transform_val = ComposeCloudTransformation(**config)
     dataset = ShapeNetCoreDataset(
         path2data=config["path2data"],

@@ -259,3 +259,46 @@ def test_mixture_fused_validation_decode_matches_xla():
             np.asarray(outs[False][key]), np.asarray(outs[True][key]),
             rtol=1e-4, atol=1e-5, err_msg=key,
         )
+
+
+def test_mixture_fused_sampling_under_mesh():
+    """The fused decode under a >1-device mesh must run via shard_map
+    over the 'data' axis (pallas_call has no GSPMD partitioning rule)
+    and produce the same samples as the unsharded fused path."""
+    from go_with_the_flows_tpu.models.mixture import FlowMixtureModel
+    from go_with_the_flows_tpu.parallel.mesh import make_mesh, shard_batch
+
+    kwargs = dict(
+        n_components=2, params_reduce_mode="none",
+        weights_type="learned_weights", g_latent_space_size=16,
+        g_prior_n_flows=2, g_prior_n_features=16,
+        p_decoder_n_flows=3, p_decoder_n_features=8,
+        pc_enc_init_n_features=8, pc_enc_n_features=(8, 16),
+    )
+    rng = np.random.RandomState(3)
+    g_in = jnp.asarray(rng.randn(8, 3, 32).astype(np.float32) * 0.3)
+    init_model = FlowMixtureModel(**kwargs, fused_sampling=False)
+    variables = init_model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        g_in, g_in, mode="training",
+    )
+    model = FlowMixtureModel(**kwargs, fused_sampling=True)
+
+    @jax.jit
+    def sample_step(variables, g):
+        return model.apply(
+            variables, g, mode="generating", n_sampled_points=32,
+            rngs={"sample": jax.random.PRNGKey(7)},
+        )
+
+    want = sample_step(variables, g_in)
+
+    mesh = make_mesh()
+    assert mesh.size == 8
+    with jax.set_mesh(mesh):
+        g_sharded = shard_batch(mesh, {"g": np.asarray(g_in)})["g"]
+        got = jax.jit(sample_step.__wrapped__)(variables, g_sharded)
+
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -269,8 +269,8 @@ class TestBatchFastPath:
 
 
 def test_loader_with_worker_pool(tmp_path):
-    """num_workers>0: fork pool path must produce the same batch shapes
-    (h5 handles are opened lazily per worker, never pickled)."""
+    """num_workers>0: the thread-pool path must produce the same batch
+    shapes, with no fork-under-JAX deadlock warning."""
     import os
 
     path = write_synthetic_meshes_h5(str(tmp_path / "m.h5"), n_shapes=8)
@@ -376,3 +376,24 @@ def test_place_batch_uneven_trim():
         dev, trim = place_batch_uneven(mesh, batch8)
     assert dev["cloud"].shape[0] == 8
     assert trim(np.ones((8, 3, 4))).shape == (8, 3, 4)
+
+
+def test_loader_thread_pool_plain_dataset():
+    """The thread pool drives datasets WITHOUT a native get_batch fast
+    path (the pool is the fallback; get_batch takes priority)."""
+
+    class PlainDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"cloud": np.full((3, 4), float(i), np.float32)}
+
+    loader = DataLoader(PlainDataset(), batch_size=4, shuffle=False,
+                        num_workers=2, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    np.testing.assert_array_equal(
+        batches[0]["cloud"][:, 0, 0], np.arange(4, dtype=np.float32)
+    )
+    loader.close()

@@ -33,7 +33,8 @@ TINY_SVR = dict(
     image_remove_alpha=True, image_resize=True, image_size=[32, 32],
     image_stds=[0.11, 0.11, 0.11, 0.12],
     images_fname="images.h5",
-    logging=True, logging_img=False, logging_img_frequency=1,
+    logging=True, logging_img=True, logging_img_frequency=1,
+    logging_img_steps=4,
     max_beta2=0.99, max_lr=1e-3, meshes_fname="meshes.h5",
     min_beta2=0.99, min_lr=1e-3, n_components=2, n_epochs=1,
     num_workers=0, p_decoder_base_type="freevar", p_decoder_base_var=0.0,
@@ -91,6 +92,23 @@ def test_train_svr_cli(workdir):
     assert os.path.isdir(exp_dir)
     ckpts = os.listdir(exp_dir)
     assert any(c.startswith("svr_smoke") for c in ckpts), ckpts
+
+
+def test_train_svr_instrumentation(workdir):
+    """In-training SVR observability (reference training.py:248-254,
+    269-291): per-step scalars AND periodic reconstruction figures must
+    land in the TB event files."""
+    log_dir = str(workdir / "results" / "svr_smoke_s1" / "log")
+    assert os.path.isdir(log_dir)
+    blob = b""
+    for root, _, files in os.walk(log_dir):
+        for f in files:
+            if "tfevents" in f:
+                with open(os.path.join(root, f), "rb") as fh:
+                    blob += fh.read()
+    assert b"train/loss" in blob
+    assert b"train/PNLL" in blob
+    assert b"svr_reconstruction" in blob
 
 
 def test_evaluate_svr_reconstruction(workdir):

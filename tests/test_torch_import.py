@@ -223,3 +223,127 @@ def test_import_cli_roundtrip(ref_model, tmp_path):
     assert len(got_leaves) == len(want_leaves)
     for a, b in zip(got_leaves, want_leaves):
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_pretrained_checkpoint_to_metrics_e2e(ref_model, tmp_path):
+    """The published-pretrained-model user path, end to end: a checkpoint
+    written by the REFERENCE'S OWN save_model (lib/networks/utils.py:25-27)
+    -> tools/import_torch_ckpt.py -> our restore -> autoencoding
+    reconstructions -> CD/EMD at metric level vs the torch model itself.
+
+    The mixture's eval decode draws per-point component assignments and
+    base noise (different RNG streams in torch vs JAX), so the comparison
+    is statistical: the torch side runs twice with independent seeds to
+    calibrate the natural rep-to-rep spread, and the JAX numbers must sit
+    within 3x that spread (floor 2%)."""
+    import torch
+    import yaml
+
+    # lib/networks/utils.py imports the compiled CUDA extension at module
+    # scope (StructuralLosses); stub it so save_model (a pure torch.save,
+    # utils.py:25-27) is importable on this CUDA-less host
+    import types
+
+    if "lib.metrics.StructuralLosses.nn_distance" not in sys.modules:
+        stub = types.ModuleType("lib.metrics.StructuralLosses.nn_distance")
+        stub.nn_distance = None
+        sys.modules.setdefault("lib.metrics.StructuralLosses",
+                               types.ModuleType(
+                                   "lib.metrics.StructuralLosses"))
+        sys.modules["lib.metrics.StructuralLosses.nn_distance"] = stub
+    from lib.networks.utils import save_model  # the reference's writer
+
+    sys.path.insert(0, "/root/repo")
+    from tools.import_torch_ckpt import main as import_main
+    from go_with_the_flows_tpu.models.mixture import FlowMixtureModel
+    from go_with_the_flows_tpu.optim import make_optimizer
+    from go_with_the_flows_tpu.ops.chamfer import chamfer
+    from go_with_the_flows_tpu.ops.emd import match_cost
+    from go_with_the_flows_tpu.train.state import create_train_state
+    from go_with_the_flows_tpu.train.checkpoints import restore_checkpoint
+    from go_with_the_flows_tpu.train.step import make_sample_step
+    from go_with_the_flows_tpu.utils.config import model_config_kwargs
+
+    B, N = 4, 512
+    rng = np.random.RandomState(7)
+    g_in = (rng.randn(B, 3, N) * 0.3).astype(np.float32)
+    p_in = (rng.randn(B, 3, N) * 0.3).astype(np.float32)
+
+    # 1. checkpoint via the reference's own save_model ------------------
+    ckpt = str(tmp_path / "published.pkl")
+    save_model(
+        {"epoch": 3, "iter": 0, "model_state": ref_model.state_dict(),
+         "optimizer_state": {}},
+        ckpt,
+    )
+
+    # 2. import into an experiment dir ----------------------------------
+    exp_dir = tmp_path / "exp"
+    cfg = dict(
+        TINY_CONFIG, cloud_size=N, cycle_length=1, min_lr=1e-4,
+        max_lr=1e-3, beta1=0.9, min_beta2=0.99, max_beta2=0.99, wd=0.0,
+    )
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    import_main([ckpt, str(cfg_path), str(exp_dir)])
+
+    # 3. torch-side reconstructions, twice (spread calibration) ---------
+    def torch_metrics(seed):
+        torch.manual_seed(seed)
+        ref_model.mode = "autoencoding"
+        outs = []
+        with torch.no_grad():  # eval decode asserts batch == 1
+            for b in range(B):
+                _, samples, _, _ = ref_model(
+                    torch.from_numpy(g_in[b:b + 1]),
+                    torch.from_numpy(p_in[b:b + 1]),
+                    n_sampled_points=N, labeled_samples=True,
+                )
+                outs.append(_t2n(samples))
+        recon = np.concatenate(outs).transpose(0, 2, 1)  # (B, N, 3)
+        ref_pts = p_in.transpose(0, 2, 1)
+        dl, dr = chamfer(jnp.asarray(recon), jnp.asarray(ref_pts))
+        cd = float((jnp.mean(dl, 1) + jnp.mean(dr, 1)).mean())
+        emd = float(
+            (match_cost(jnp.asarray(recon), jnp.asarray(ref_pts)) / N)
+            .mean()
+        )
+        return cd, emd
+
+    cd_a, emd_a = torch_metrics(11)
+    cd_b, emd_b = torch_metrics(23)
+
+    # 4. JAX side from the imported checkpoint --------------------------
+    kwargs = model_config_kwargs(TINY_CONFIG)
+    kwargs["scan_couplings"] = True
+    model = FlowMixtureModel(**kwargs)
+    optimizer = make_optimizer(
+        epoch_length=100, cycle_length=1, min_lr=1e-4, max_lr=1e-3,
+        beta1=0.9, min_beta2=0.99, max_beta2=0.99, wd=0.0,
+    )
+    template = create_train_state(
+        model, jax.random.PRNGKey(0),
+        {"cloud": g_in, "eval_cloud": p_in}, optimizer,
+    )
+    state, _, _ = restore_checkpoint(str(exp_dir), "model.ckpt", template)
+    sample_step = make_sample_step(model, n_sampled_points=N,
+                                   mode="autoencoding")
+    samples, _, _ = sample_step(state, jnp.asarray(g_in),
+                                jax.random.PRNGKey(5))
+    recon = np.asarray(samples).transpose(0, 2, 1)
+    ref_pts = p_in.transpose(0, 2, 1)
+    dl, dr = chamfer(jnp.asarray(recon), jnp.asarray(ref_pts))
+    cd_j = float((jnp.mean(dl, 1) + jnp.mean(dr, 1)).mean())
+    emd_j = float(
+        (match_cost(jnp.asarray(recon), jnp.asarray(ref_pts)) / N).mean()
+    )
+
+    for name, a, b, j in (("CD", cd_a, cd_b, cd_j),
+                          ("EMD", emd_a, emd_b, emd_j)):
+        mid = 0.5 * (a + b)
+        spread = abs(a - b)
+        tol = max(3.0 * spread, 0.02 * mid)
+        assert abs(j - mid) <= tol, (
+            f"{name}: jax {j} vs torch {a}/{b} (tol {tol})"
+        )

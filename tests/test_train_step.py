@@ -153,3 +153,48 @@ def test_remat_matches_baseline():
     _, m_b = step_b(state_b, g, p, jax.random.PRNGKey(1), warmup=False)
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
                                rtol=1e-5)
+
+
+def test_profile_trace_capture(tmp_path):
+    """--profile wiring: loops.train with profile_dir must leave a
+    jax.profiler trace on disk (utils/profiling.py exercised end to end)."""
+    import os
+
+    from go_with_the_flows_tpu.train import loops
+
+    class ListLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.dataset = None
+
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    model = FlowMixtureModel(**TINY)
+    optimizer = make_optimizer(
+        epoch_length=4, cycle_length=4, min_lr=1e-3, max_lr=1e-3,
+        beta1=0.9, min_beta2=0.99, max_beta2=0.99, wd=1e-6,
+    )
+    rng = np.random.RandomState(1)
+    batches = [_synthetic_batch(rng, B=4, N=16) for _ in range(4)]
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), batches[0], optimizer
+    )
+    train_step = make_train_step(model, optimizer)
+
+    trace_dir = str(tmp_path / "trace")
+    loops.train(
+        ListLoader(batches), train_step, state, epoch=0, start_iter=0,
+        warmup=True, rng=jax.random.PRNGKey(3),
+        profile_dir=trace_dir, profile_steps=2, logging=False,
+    )
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found.extend(files)
+    assert found, f"no trace files in {trace_dir}"

@@ -43,6 +43,11 @@ def define_options_parser():
     parser.add_argument("--coordinator", type=str, default="127.0.0.1:9731",
                         help="Multi-host coordinator address.")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of a few early "
+                             "training steps into DIR (TensorBoard-viewable).")
+    parser.add_argument("--profile_steps", type=int, default=3,
+                        help="Number of steps to trace under --profile.")
     return parser
 
 
@@ -88,6 +93,8 @@ def main():
         cloud_random_rotate=args.cloud_random_rotate or
         config_flag(args.config, "cloud_random_rotate"),
         config_path=args.config,
+        profile_dir=args.profile,
+        profile_steps=args.profile_steps,
     )
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 

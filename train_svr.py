@@ -28,6 +28,10 @@ def define_options_parser():
     parser.add_argument("-nr", "--nr", default=0, type=int)
     parser.add_argument("--coordinator", type=str, default="127.0.0.1:9731")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of a few early "
+                             "training steps into DIR.")
+    parser.add_argument("--profile_steps", type=int, default=3)
     return parser
 
 
@@ -70,6 +74,7 @@ def main():
         weights_type=args.weights_type, jobid=args.jobid,
         resume=args.resume, resume_optimizer=args.resume_optimizer,
         config_path=args.config,
+        profile_dir=args.profile, profile_steps=args.profile_steps,
     )
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 
@@ -143,13 +148,28 @@ def main():
 
         writer = SummaryWriter(os.path.join(config["logging_path"], "log"))
 
+    # periodic SVR reconstruction figures (reference training.py:269-291):
+    # reconstruction-mode sampling conditioned on the image prior
+    svr_sample_step = make_sample_step(
+        model, n_sampled_points=config["cloud_size"],
+        mode="reconstruction", svr=True,
+    )
+
+    def svr_recon_fn(st):
+        return loops.reconstruct(
+            train_loader, svr_sample_step, st,
+            jax.random.fold_in(rng, 888), max_batches=1, svr=True,
+            mesh=mesh, return_images=True,
+        )
+
     with jax.set_mesh(mesh):
         for epoch in range(cur_epoch, config["n_epochs"]):
             warmup = epoch < args.warmup_epoch
             state = loops.train(
                 train_loader, train_step, state, epoch, cur_iter, warmup,
                 jax.random.fold_in(rng, epoch), writer=writer, svr=True,
-                mesh=mesh, **config,
+                mesh=mesh, per_step_tb=True, svr_recon_fn=svr_recon_fn,
+                **config,
             )
             cur_iter = 0
 
