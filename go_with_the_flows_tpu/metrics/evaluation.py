@@ -190,10 +190,36 @@ def pairwise_EMD_CD_F1(
 _GRID_PAIR_BUDGET = 16384
 
 
+def _grid_mesh():
+    """The ambient >1-device mesh to shard the pair grid over, or None.
+
+    The (S, R) pair grid is embarrassingly parallel over matrix rows, so
+    under a multi-device mesh (evaluate_ae.py wraps eval in jax.set_mesh)
+    the row axis is shard_map'd over 'data' — a D-chip protocol run is
+    ~D x faster. pallas_call itself has no GSPMD partitioning rule, so
+    this wrap is also what keeps the kernels per-device.
+
+    Multi-host runs keep the redundant-per-host protocol (every process
+    holds the full gathered buffers and computes identical numbers, see
+    eval/evaluating.py) — sharding there would need global-array
+    plumbing for host numpy inputs."""
+    if jax.process_count() > 1:
+        return None
+    mesh = jax.sharding.get_abstract_mesh()
+    if (not mesh.empty and mesh.size > 1
+            and mesh.shape.get("data", 0) == mesh.size):
+        return mesh
+    return None
+
+
 def _pairwise_pallas_grid(sample_pcs, ref_pcs, f1_threshold: float,
                           emd_option: bool, verbose: bool,
                           interpret: bool):
     """On-chip (S-chunk x R) pairwise matrices via the grid kernels."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
     from ..ops.pallas.pairwise_kernel import (
         pairwise_cd_stats_pallas,
         pairwise_emd_pallas,
@@ -207,25 +233,47 @@ def _pairwise_pallas_grid(sample_pcs, ref_pcs, f1_threshold: float,
     emd_m = np.zeros((n_sample, n_ref), np.float32)
     f1_m = np.zeros((n_sample, n_ref), np.float32)
 
+    cd_call = functools.partial(pairwise_cd_stats_pallas,
+                                f1_threshold=f1_threshold,
+                                interpret=interpret)
+    emd_call = functools.partial(pairwise_emd_pallas, interpret=interpret)
+    mesh = _grid_mesh()
+    n_dev = 1
+    if mesh is not None:
+        n_dev = mesh.size
+        # rows shard over 'data', refs replicate on every device
+        cd_call = jax.jit(jax.shard_map(
+            cd_call, mesh=mesh, in_specs=(P("data"), P()),
+            out_specs=(P("data"),) * 4, check_vma=False,
+        ))
+        emd_call = jax.jit(jax.shard_map(
+            emd_call, mesh=mesh, in_specs=(P("data"), P()),
+            out_specs=P("data"), check_vma=False,
+        ))
+
     s_chunk = max(1, _GRID_PAIR_BUDGET // max(n_ref, 1))
+    s_chunk = max(s_chunk, n_dev)
     sample_dev = jnp.asarray(sample_pcs)
     ref_dev = jnp.asarray(ref_pcs)
     for i0 in range(0, n_sample, s_chunk):
         i1 = min(n_sample, i0 + s_chunk)
-        cdl, cdr, prec, rec = pairwise_cd_stats_pallas(
-            sample_dev[i0:i1], ref_dev, f1_threshold,
-            interpret=interpret,
-        )
-        cdl_m[i0:i1] = np.asarray(cdl)
-        cdr_m[i0:i1] = np.asarray(cdr)
-        prec = np.asarray(prec)
-        rec = np.asarray(rec)
+        sub = sample_dev[i0:i1]
+        pad = (-sub.shape[0]) % n_dev  # equal per-device rows
+        if pad:
+            sub = jnp.concatenate(
+                [sub, jnp.broadcast_to(sub[-1:], (pad,) + sub.shape[1:])]
+            )
+        S = i1 - i0
+        cdl, cdr, prec, rec = cd_call(sub, ref_dev)
+        cdl_m[i0:i1] = np.asarray(cdl)[:S]
+        cdr_m[i0:i1] = np.asarray(cdr)[:S]
+        prec = np.asarray(prec)[:S]
+        rec = np.asarray(rec)[:S]
         f1_m[i0:i1] = 2.0 * prec * rec / (prec + rec + 1e-7)
         if emd_option:
             emd_m[i0:i1] = np.asarray(
-                pairwise_emd_pallas(sample_dev[i0:i1], ref_dev,
-                                    interpret=interpret)
-            ) / n_pts
+                emd_call(sub, ref_dev)
+            )[:S] / n_pts
         if verbose:
             print(f"pairwise: {i1}/{n_sample}")
     return cdl_m + cdr_m, emd_m, f1_m, cdl_m, cdr_m

@@ -205,7 +205,13 @@ def _mxdot(a, b, mode: str):
     precisions, so 'high' (3 bf16 passes, ~f32 accuracy — the drift
     audit measured tpu-high tensor drift equal to tpu-highest) is
     emulated with an explicit bf16 hi/lo split:
-    a*b ~ hi(a)hi(b) + hi(a)lo(b) + lo(a)hi(b)."""
+    a*b ~ hi(a)hi(b) + hi(a)lo(b) + lo(a)hi(b).
+
+    'fast' casts both operands to bf16 explicitly — numerically what
+    DEFAULT precision does inside the MXU anyway, but the explicit cast
+    lets callers STORE activations bf16 (half the VMEM footprint →
+    wider cloud tiles per program; ROADMAP item 5). Accumulation stays
+    f32 via preferred_element_type."""
     if mode == "high":
         a_hi = a.astype(jnp.bfloat16)
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -216,10 +222,11 @@ def _mxdot(a, b, mode: str):
             return jnp.dot(x, y, preferred_element_type=jnp.float32)
 
         return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
-    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
-            else jax.lax.Precision.DEFAULT)
+    if mode == "fast":
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=prec)
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 
@@ -255,6 +262,12 @@ def _decode_kernel(n_couplings, tb, n_pad, prec, inverse, x_ref,
                    w0_ref, b0_ref, w1_ref, w2lv_ref, b2lv_ref,
                    w2mu_ref, b2mu_ref, ab_ref, out_ref, lv_ref):
     x = x_ref[0, 0]  # (3, tb * N)
+    # bf16 activation STORAGE in fast mode: the MXU truncates DEFAULT-
+    # precision inputs to bf16 anyway, so storing h bf16 between dots
+    # loses nothing numerically while halving the live VMEM footprint
+    # (admits tb twice as wide). The carried state x and the logvar
+    # accumulator stay f32 — they thread 3*n_flows couplings.
+    store = jnp.bfloat16 if prec == "fast" else jnp.float32
 
     def coupling(i, carry):
         # inverse runs the exact reverse coupling order
@@ -263,7 +276,7 @@ def _decode_kernel(n_couplings, tb, n_pad, prec, inverse, x_ref,
         x, lv = carry
         w0 = w0_ref[0, pl.ds(c, 1)][0]       # (2f, 3)
         b0 = b0_ref[0, pl.ds(c, 1)][0]       # (2f, 1)
-        h = jnp.maximum(_mxdot(w0, x, prec) + b0, 0.0)
+        h = jnp.maximum(_mxdot(w0, x, prec) + b0, 0.0).astype(store)
         h = _mxdot(w1_ref[0, pl.ds(c, 1)][0], h, prec)
         # per-cloud FiLM affine on static 128-aligned lane segments
         segs = []
@@ -272,7 +285,7 @@ def _decode_kernel(n_couplings, tb, n_pad, prec, inverse, x_ref,
             beta = ab_ref[0, 0, t, pl.ds(c, 1), 1].T
             segs.append(jnp.maximum(
                 alpha * h[:, t * n_pad:(t + 1) * n_pad] + beta, 0.0
-            ))
+            ).astype(store))
         h = segs[0] if tb == 1 else jnp.concatenate(segs, axis=1)
         y_lv = _mxdot(w2lv_ref[0, pl.ds(c, 1)][0], h, prec)
         y_lv = y_lv + b2lv_ref[0, pl.ds(c, 1)][0]
@@ -332,11 +345,14 @@ def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode,
             [x, jnp.zeros((K, B, 3, n_pad - N), jnp.float32)], axis=3
         )
     # clouds per program: segments widen the dots (one-cloud programs are
-    # MXU-latency-bound); bounded by ~3.5 live (2f->80, tb*N) f32 buffers
-    # (h scratch + the W1 dot output + pipeline blocks) in 16MB VMEM
+    # MXU-latency-bound); bounded by ~3.5 live (2f->80, tb*N) buffers
+    # (h scratch + the W1 dot output + pipeline blocks) in 16MB scoped
+    # VMEM. bf16 activation storage (fast mode) halves the h buffers,
+    # admitting twice the lanes per program.
+    lane_cap = 16384 if precision_mode == "fast" else 8192
     tb = 1
-    for cand in (8, 4, 2):
-        if B % cand == 0 and cand * n_pad <= 8192:
+    for cand in (16, 8, 4, 2):
+        if B % cand == 0 and cand * n_pad <= lane_cap:
             tb = cand
             break
     x = x.reshape(K, B // tb, tb, 3, n_pad)

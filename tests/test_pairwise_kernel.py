@@ -121,3 +121,25 @@ def test_compute_all_metrics_pallas_path(monkeypatch):
                 np.asarray(want[k], np.float64),
                 rtol=2e-4, atol=1e-6, err_msg=k,
             )
+
+
+def test_pairwise_grid_sharded_over_mesh():
+    """Under a >1-device mesh the pair grid shard_maps its row axis over
+    'data' and must produce the same matrices (incl. an uneven row count
+    that needs padding to the device multiple)."""
+    from go_with_the_flows_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(4)
+    samples = np.asarray(_clouds(rng, 11, 64))  # 11 % 8 != 0 -> pad path
+    refs = np.asarray(_clouds(rng, 5, 64))
+    kw = dict(batch_size=4, f1_threshold=0.05, cd_option=True,
+              emd_option=True, f1_option=True)
+    want = pairwise_EMD_CD_F1(samples, refs, use_pallas=True, **kw)
+
+    mesh = make_mesh()
+    assert mesh.size == 8
+    with jax.set_mesh(mesh):
+        got = pairwise_EMD_CD_F1(samples, refs, use_pallas=True, **kw)
+    for g, w, name in zip(got, want, ("cd", "emd", "f1", "cdl", "cdr")):
+        np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-7,
+                                   err_msg=name)
