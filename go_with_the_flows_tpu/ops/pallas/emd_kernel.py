@@ -69,7 +69,12 @@ def _init_capacity(size: int, real: int, multi: float, row: bool):
 
 
 def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
-                a_ref, b_ref, *refs):
+                a_ref, b_ref, *refs, grid_col=False):
+    """`grid_col=True` is the (S, R)-grid pairwise variant
+    (pairwise_kernel.py): the cost block spans the whole ref axis as
+    its LAST (lane) dim and program (i, j) stores its own lane element
+    (Mosaic rejects per-element output blocks over a (S, R, 1) array,
+    and a trailing 1-wide SMEM lane dim pads 128x)."""
     if save_ratios:
         cost_ref, rl_ref, rr_ref = refs[:3]
         scratch = refs[3:]
@@ -154,7 +159,10 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
             0, _N_LEVELS, loop_step,
             (jnp.float32(0.0), jnp.float32(-(4.0 ** 7))),
         )
-    cost_ref[0, 0, 0] = cost
+    if grid_col:
+        cost_ref[0, 0, pl.program_id(1)] = cost
+    else:
+        cost_ref[0, 0, 0] = cost
 
 
 def _pad_cloud(x, target: int):

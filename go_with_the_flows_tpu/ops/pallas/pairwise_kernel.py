@@ -95,14 +95,22 @@ def _cd_stats_kernel(n_real, m_real, thr, a_ref, b_ref,
     )
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     rvalid = row_ids < n_real
-    cdl_ref[0, 0, 0] = (
+    # Each (i, j) program owns lane j of the row-i output block. The
+    # SMEM block spans the full ref axis AS THE LAST DIM: Mosaic
+    # requires output block dims to tile the array by (8, 128) or equal
+    # it — a (1, 1, 1) element block over (S, R, 1) does not lower —
+    # and a trailing 1-wide lane dim would pad 128x, blowing the 1MB
+    # SMEM budget (4 outputs x (R, 1) blocks x double buffering ~ 1.6MB
+    # at R=405; (1, R) blocks are ~2KB each).
+    j = pl.program_id(1)
+    cdl_ref[0, 0, j] = (
         jnp.sum(jnp.where(rvalid, row_min, 0.0)) / n_real
     )
-    rec_ref[0, 0, 0] = 100.0 * jnp.sum(
+    rec_ref[0, 0, j] = 100.0 * jnp.sum(
         jnp.where(rvalid & (row_min < thr), 1.0, 0.0)
     ) / n_real
-    cdr_ref[0, 0, 0] = col_sum / m_real
-    prec_ref[0, 0, 0] = 100.0 * col_cnt / m_real
+    cdr_ref[0, 0, j] = col_sum / m_real
+    prec_ref[0, 0, j] = 100.0 * col_cnt / m_real
 
 
 @functools.partial(
@@ -121,9 +129,13 @@ def pairwise_cd_stats_pallas(samples, refs, f1_threshold: float,
     a = _pad_sentinel(samples.astype(jnp.float32), n_pad)
     b = _pad_sentinel(refs.astype(jnp.float32), m_pad)
 
-    out_spec = pl.BlockSpec((1, 1, 1), lambda i, j: (i, j, 0),
+    # the output block spans the whole ref axis (as lanes) and is
+    # revisited across the inner grid dimension (index map constant in
+    # j): one writeback per matrix row, each program storing its own
+    # lane element
+    out_spec = pl.BlockSpec((1, 1, R), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.SMEM)
-    out_shape = jax.ShapeDtypeStruct((S, R, 1), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((S, 1, R), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_cd_stats_kernel, N, M, float(f1_threshold)),
         grid=(S, R),
@@ -139,7 +151,7 @@ def pairwise_cd_stats_pallas(samples, refs, f1_threshold: float,
         out_shape=[out_shape] * 4,
         interpret=interpret,
     )(a, b)
-    return tuple(o[:, :, 0] for o in outs)
+    return tuple(o[:, 0, :] for o in outs)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -155,7 +167,8 @@ def pairwise_emd_pallas(samples, refs, interpret: bool = False):
     b = _pad_zero(refs.astype(jnp.float32), P)
 
     cost = pl.pallas_call(
-        functools.partial(_emd_kernel, N, M, multi_l, multi_r, False),
+        functools.partial(_emd_kernel, N, M, multi_l, multi_r, False,
+                          grid_col=True),
         grid=(S, R),
         in_specs=[
             pl.BlockSpec((1, P, 3), lambda i, j: (i, 0, 0),
@@ -164,10 +177,11 @@ def pairwise_emd_pallas(samples, refs, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i, j: (i, j, 0),
+            # row-spanning lane block revisited across j (see CD note)
+            pl.BlockSpec((1, 1, R), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((S, R, 1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((S, 1, R), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # remainL
             pltpu.VMEM((1, P), jnp.float32),  # remainR
@@ -176,4 +190,4 @@ def pairwise_emd_pallas(samples, refs, interpret: bool = False):
         ],
         interpret=interpret,
     )(a, b)[0]
-    return cost[:, :, 0]
+    return cost[:, 0, :]
