@@ -348,8 +348,17 @@ def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode,
     # MXU-latency-bound); bounded by ~3.5 live (2f->80, tb*N) buffers
     # (h scratch + the W1 dot output + pipeline blocks) in 16MB scoped
     # VMEM. bf16 activation storage (fast mode) halves the h buffers,
-    # admitting twice the lanes per program.
-    lane_cap = 16384 if precision_mode == "fast" else 8192
+    # admitting twice the lanes per program. HIGHEST dots lower to 6 MXU
+    # passes with hi/lo operand temporaries; combined with the inverse
+    # update's extra reciprocal buffer that overflows the 16MB scoped
+    # stack at 8192 lanes (measured: 18.12M on v5e), so highest+inverse
+    # halves the cap.
+    if precision_mode == "fast":
+        lane_cap = 16384
+    elif precision_mode == "highest" and inverse:
+        lane_cap = 4096
+    else:
+        lane_cap = 8192
     tb = 1
     for cand in (16, 8, 4, 2):
         if B % cand == 0 and cand * n_pad <= lane_cap:
