@@ -16,10 +16,18 @@ the algorithm):
   sweep 2: sumr_j   = remainR_j * sum_i E_ij * ratioL_i -> ratioR, remainR
   sweep 3: w_ij = E_ij * ratioL_i * ratioR_j; cost += sum w_ij * dist_ij;
            remainL_i -= sum_j w_ij
-E tiles are recomputed from the raw points each sweep — the points are
-(N,3)/(M,3), so recompute is ~free compared to spilling E to HBM. All
-reductions are broadcast/VPU ops (no matvecs: with a 3-wide contraction
-the MXU would idle, and Mosaic only lowers 2-D dots).
+All reductions are broadcast/VPU ops (no matvecs: with a 3-wide
+contraction the MXU would idle, and Mosaic only lowers 2-D dots).
+
+VMEM caching: a v5e core has ~128 MB of VMEM (the oft-quoted 16 MB is
+only the compiler's DEFAULT scoped-vmem limit, raised here via
+`vmem_limit_bytes`), so the full (P, P) matrices fit on chip at protocol
+sizes (P = 2048 -> 16 MB each, P = 2560 -> 26 MB). The kernel therefore
+computes the squared-distance matrix D (and sqrt(D), the cost weights)
+ONCE into scratch instead of once per sweep per level (19x), and each
+level's kernel matrix E = exp(level * D) once instead of twice —
+removing ~half the VPU work per pair. The cached values are the exact
+f32 bits the uncached sweeps recomputed, so results are bit-identical.
 
 Differentiability (reference matchcostgrad1/2, approxmatch.cu:229-291;
 autograd wrapper match_cost.py holds the match constant): the implicit
@@ -50,9 +58,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..emd import _capacities  # single source for the multiplicity rule
 from .common import round_up as _round_up, sq_dist_tile
 
-_TILE_M = 256  # three (N, T) f32 tiles live in sweep 3; 256 keeps them under the 16MB scoped VMEM limit
+_TILE_M = 256  # sweep tile width (a few (N, T) f32 temporaries live at once)
 _TILE_BWD = 128  # backward holds d/e/w/coeff tiles at once -> narrower tile
 _N_LEVELS = 9  # level = -4^j, j = 7..-1 (approxmatch.cu:24-28)
+# v5e VMEM is ~128 MB/core; leave headroom for pipeline buffers +
+# compiler temporaries above the explicit (P, P) caches
+_VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def _dist_tile(a, b_ref, t, tile=_TILE_M):
@@ -81,8 +92,10 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
     else:
         cost_ref = refs[0]
         scratch = refs[1:]
-    remain_l, remain_r, ratio_l, ratio_r = scratch
-    # scratch layouts: remain_l/ratio_l (N, 1); remain_r/ratio_r (1, M)
+    remain_l, remain_r, ratio_l, ratio_r, d_cache, sqd_cache, e_cache = \
+        scratch
+    # scratch layouts: remain_l/ratio_l (N, 1); remain_r/ratio_r (1, M);
+    # d/sqd/e caches (N, M)
     a = a_ref[0]  # (N, 3)
     n = a.shape[0]
     m = b_ref.shape[1]
@@ -90,6 +103,17 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
 
     remain_l[:] = _init_capacity(n, n_real, multi_l, row=True)
     remain_r[:] = _init_capacity(m, m_real, multi_r, row=False)
+
+    # level-independent caches: exact squared distances (exp input) and
+    # clamped roots (cost weights), computed once per pair
+    def fill_caches(t, carry):
+        d = _dist_tile(a, b_ref, t)
+        sl = pl.ds(t * _TILE_M, _TILE_M)
+        d_cache[:, sl] = d
+        sqd_cache[:, sl] = jnp.sqrt(jnp.maximum(d, 1e-12))
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, fill_caches, 0)
 
     def level_body(j, level, cost):
         # The temperature must be bit-exact 4^(7-j): with |level|*d ~ 1e4
@@ -100,10 +124,12 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
         # statically unroll the 9 levels (the residual stores need a
         # static sublane index — Mosaic rejects dynamic ones).
 
-        # sweep 1: row kernel sums -> ratioL
+        # sweep 1: row kernel sums -> ratioL; E cached for sweep 2+3
         def s1(t, suml):
-            e = jnp.exp(level * _dist_tile(a, b_ref, t))  # (N, T)
-            r = remain_r[:, pl.ds(t * _TILE_M, _TILE_M)]  # (1, T)
+            sl = pl.ds(t * _TILE_M, _TILE_M)
+            e = jnp.exp(level * d_cache[:, sl])  # (N, T)
+            e_cache[:, sl] = e
+            r = remain_r[:, sl]  # (1, T)
             return suml + jnp.sum(e * r, axis=1, keepdims=True)
 
         suml = jax.lax.fori_loop(
@@ -115,14 +141,13 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
 
         # merged sweeps 2+3: ratioR for a tile is final as soon as its
         # column sum exists (it only depends on the completed ratioL), so
-        # the weight/cost accumulation reuses the same E tile — one exp
-        # evaluation instead of two per tile.
+        # the weight/cost accumulation reuses the same E tile — read
+        # straight from the sweep-1 cache, zero exp/dist work here.
         def s23(t, carry):
             cost_acc, row_sum = carry
-            d = _dist_tile(a, b_ref, t)
-            e = jnp.exp(level * d)  # (N, T)
-            col = jnp.sum(e * ratio_l[:], axis=0, keepdims=True)  # (1, T)
             sl = pl.ds(t * _TILE_M, _TILE_M)
+            e = e_cache[:, sl]  # (N, T)
+            col = jnp.sum(e * ratio_l[:], axis=0, keepdims=True)  # (1, T)
             r = remain_r[:, sl]
             sumr = r * col
             consumption = jnp.minimum(r / (sumr + 1e-9), 1.0)
@@ -131,9 +156,7 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
             remain_r[:, sl] = jnp.maximum(0.0, r - sumr)
 
             w = e * ratio_l[:] * rr
-            cost_acc = cost_acc + jnp.sum(
-                w * jnp.sqrt(jnp.maximum(d, 1e-12))
-            )
+            cost_acc = cost_acc + jnp.sum(w * sqd_cache[:, sl])
             row_sum = row_sum + jnp.sum(w, axis=1, keepdims=True)
             return cost_acc, row_sum
 
@@ -163,6 +186,19 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
         cost_ref[0, 0, pl.program_id(1)] = cost
     else:
         cost_ref[0, 0, 0] = cost
+
+
+def _emd_scratch_shapes(P: int):
+    """Forward-kernel scratch: the auction vectors + the (P, P) caches."""
+    return [
+        pltpu.VMEM((P, 1), jnp.float32),  # remainL
+        pltpu.VMEM((1, P), jnp.float32),  # remainR
+        pltpu.VMEM((P, 1), jnp.float32),  # ratioL
+        pltpu.VMEM((1, P), jnp.float32),  # ratioR
+        pltpu.VMEM((P, P), jnp.float32),  # D cache (squared distances)
+        pltpu.VMEM((P, P), jnp.float32),  # sqrt(D) cache (cost weights)
+        pltpu.VMEM((P, P), jnp.float32),  # E cache (per-level kernel)
+    ]
 
 
 def _pad_cloud(x, target: int):
@@ -209,12 +245,10 @@ def _emd_pallas_call(a, b, save_ratios: bool, interpret: bool):
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),  # remainL
-            pltpu.VMEM((1, P), jnp.float32),  # remainR
-            pltpu.VMEM((P, 1), jnp.float32),  # ratioL
-            pltpu.VMEM((1, P), jnp.float32),  # ratioR
-        ],
+        scratch_shapes=_emd_scratch_shapes(P),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(a, b)
     if save_ratios:
@@ -223,7 +257,8 @@ def _emd_pallas_call(a, b, save_ratios: bool, interpret: bool):
     return out[0][:, 0, 0]
 
 
-def _emd_bwd_kernel(a_ref, b_ref, rl_ref, rr_ref, da_ref, db_ref, rl_col):
+def _emd_bwd_kernel(a_ref, b_ref, rl_ref, rr_ref, da_ref, db_ref, rl_col,
+                    d_cache):
     """Accumulate cost gradients wrt both clouds from the stored per-level
     ratio residuals (the MatchCostGrad analog, approxmatch.cu:229-291).
 
@@ -239,10 +274,18 @@ def _emd_bwd_kernel(a_ref, b_ref, rl_ref, rr_ref, da_ref, db_ref, rl_col):
     n = a.shape[0]
     n_tiles = n // _TILE_BWD
 
+    def fill_cache(t, carry):
+        d_cache[:, pl.ds(t * _TILE_BWD, _TILE_BWD)] = _dist_tile(
+            a, b_ref, t, _TILE_BWD
+        )
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, fill_cache, 0)
+
     def level_tile_body(level, l, t, da):
-        d = _dist_tile(a, b_ref, t, _TILE_BWD)  # (N, T)
-        bt = b_ref[0, pl.ds(t * _TILE_BWD, _TILE_BWD), :]
         sl = pl.ds(t * _TILE_BWD, _TILE_BWD)
+        d = d_cache[:, sl]  # (N, T)
+        bt = b_ref[0, sl, :]
         e = jnp.exp(level * d)
         w = e * rl_col[:] * rr_ref[0, l:l + 1, sl]  # (N, T)
         # d cost / d a_c = sum_j w * (a_c - b_c) / ||a - b||; the XLA path
@@ -313,7 +356,11 @@ def _emd_backward(a, b, rl, rr, interpret: bool):
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # per-level ratioL column
+            pltpu.VMEM((P, P), jnp.float32),  # D cache (level-invariant)
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(a, b, rl, rr)
     return da[:, :N], db[:, :M]

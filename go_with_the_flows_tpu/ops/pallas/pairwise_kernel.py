@@ -45,6 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..emd import _capacities
 from .common import round_up as _round_up, sq_dist_tile as _sq_dist_tile
 from .emd_kernel import _TILE_M as _EMD_TILE, _emd_kernel
+from .emd_kernel import _VMEM_LIMIT as _EMD_VMEM_LIMIT
+from .emd_kernel import _emd_scratch_shapes
 from .emd_kernel import _pad_cloud as _pad_zero
 
 _TILE = 512  # Chamfer M-axis tile (same as chamfer_kernel._TILE_M)
@@ -182,12 +184,10 @@ def pairwise_emd_pallas(samples, refs, interpret: bool = False):
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((S, 1, R), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),  # remainL
-            pltpu.VMEM((1, P), jnp.float32),  # remainR
-            pltpu.VMEM((P, 1), jnp.float32),  # ratioL
-            pltpu.VMEM((1, P), jnp.float32),  # ratioR
-        ],
+        scratch_shapes=_emd_scratch_shapes(P),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_EMD_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(a, b)[0]
     return cost[:, 0, :]
