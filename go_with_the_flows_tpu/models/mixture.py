@@ -331,12 +331,27 @@ class FlowMixtureModel(nn.Module):
         return learned
 
     def decode_training(self, p_input, g_sample, warmup: bool,
-                        train: bool = True):
+                        train: bool = True, skip_decoder: bool = False):
         """Inverse-decode p_input through ALL K components at once.
         Reference flow_mixture.py:142-143 + models.py:195-198, vectorized.
+
+        `skip_decoder=True` omits the pc_decoder inverse (returning the
+        dict without p0_samples/p_logvar_sums): the fused TRAINING kernel
+        (ops/pallas/train_kernel.py) runs it outside `apply` so the
+        kernel-computed BatchNorm batch statistics can be written back
+        into the batch_stats collection at the train-step level — flax
+        modules can only mutate their own scope (see train/step.py).
         """
         K = self.n_components
         p_stack = jnp.broadcast_to(p_input[None], (K,) + p_input.shape)
+        if skip_decoder:
+            base_mus, base_logvars = self._point_base(g_sample, train)
+            logits = self.get_weights(g_sample, warmup, train)
+            return {
+                "p_base_mus": base_mus,
+                "p_base_logvars": base_logvars,
+                "mixture_weights_logits": logits,
+            }
         if train:
             p0, lv_sums = self.pc_decoder(p_stack, g_sample, "inverse",
                                           train)
@@ -492,6 +507,7 @@ class FlowMixtureModel(nn.Module):
         warmup: bool = False,
         mode: str = "training",
         train: bool | None = None,
+        skip_decoder: bool = False,
     ):
         """Dispatch mirroring reference models.py:224-258.
 
@@ -500,13 +516,15 @@ class FlowMixtureModel(nn.Module):
                        -> (encoder_out, samples, labels, logits)
         `train=False` with mode='training' reproduces the reference's
         validation loss (training path under model.eval()).
+        `skip_decoder` (training only): see decode_training.
         """
         if train is None:
             train = mode == "training"
         out_enc = self.encode(g_input, mode, train=train)
         g_s = out_enc["g_sample"]
         if mode == "training":
-            out_dec = self.decode_training(p_input, g_s, warmup, train)
+            out_dec = self.decode_training(p_input, g_s, warmup, train,
+                                           skip_decoder)
             return {**out_enc, **out_dec}
         if n_sampled_points is None:
             n_sampled_points = p_input.shape[2] if p_input is not None else 2048
@@ -582,13 +600,15 @@ class FlowMixtureSVRModel(FlowMixtureModel):
         warmup: bool = False,
         mode: str = "training",
         train: bool | None = None,
+        skip_decoder: bool = False,
     ):
         if train is None:
             train = mode == "training"
         out_enc = self.encode(g_input, mode, train=train, images=images)
         g_s = out_enc["g_sample"]
         if mode == "training":
-            out_dec = self.decode_training(p_input, g_s, warmup, train)
+            out_dec = self.decode_training(p_input, g_s, warmup, train,
+                                           skip_decoder)
             return {**out_enc, **out_dec}
         if n_sampled_points is None:
             n_sampled_points = p_input.shape[2] if p_input is not None else 2500

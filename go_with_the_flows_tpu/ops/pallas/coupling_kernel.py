@@ -60,6 +60,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BN_EPS = 1e-5   # ops/layers.py batch_norm (torch BatchNorm1d default)
 _EPS = 1e-6      # coupling eps (models/flows.py CondAffineCoupling3D)
+# v5e VMEM is ~128 MB/core (the 16 MB figure is only the compiler's
+# default scoped-vmem limit); raising the limit admits wider lane tiles
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 # warp patterns per coupling within the repeating 6-coupling period
 # (models/flows.py _TRIPLE_PATTERNS; reference flows.py:129-148)
@@ -329,6 +332,21 @@ def fused_point_decode(
                                     inverse)
 
 
+def _lane_cap(precision_mode: str, inverse: bool) -> int:
+    """Clouds-per-program lane budget. Wider segments widen the dots
+    (one-cloud programs are MXU-latency-bound) at ~3.5 live (2f->80,
+    lanes) activation buffers (h scratch + W1 dot output + pipeline
+    blocks) of VMEM — bf16 storage (fast mode) halves them, HIGHEST dots
+    lower to 6 MXU passes with hi/lo temporaries (and the inverse update
+    adds a reciprocal buffer), costing extra headroom. Caps swept on a
+    real v5e under the raised (100 MB) vmem limit."""
+    if precision_mode == "fast":
+        return 32768
+    if precision_mode == "highest" and inverse:
+        return 8192
+    return 16384
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "precision_mode", "inverse")
 )
@@ -344,21 +362,7 @@ def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode,
         x = jnp.concatenate(
             [x, jnp.zeros((K, B, 3, n_pad - N), jnp.float32)], axis=3
         )
-    # clouds per program: segments widen the dots (one-cloud programs are
-    # MXU-latency-bound); bounded by ~3.5 live (2f->80, tb*N) buffers
-    # (h scratch + the W1 dot output + pipeline blocks) in 16MB scoped
-    # VMEM. bf16 activation storage (fast mode) halves the h buffers,
-    # admitting twice the lanes per program. HIGHEST dots lower to 6 MXU
-    # passes with hi/lo operand temporaries; combined with the inverse
-    # update's extra reciprocal buffer that overflows the 16MB scoped
-    # stack at 8192 lanes (measured: 18.12M on v5e), so highest+inverse
-    # halves the cap.
-    if precision_mode == "fast":
-        lane_cap = 16384
-    elif precision_mode == "highest" and inverse:
-        lane_cap = 4096
-    else:
-        lane_cap = 8192
+    lane_cap = _lane_cap(precision_mode, inverse)
     tb = 1
     for cand in (16, 8, 4, 2):
         if B % cand == 0 and cand * n_pad <= lane_cap:
@@ -404,6 +408,9 @@ def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode,
             jax.ShapeDtypeStruct((K, B // tb, 3, tb * n_pad), jnp.float32),
             jax.ShapeDtypeStruct((K, B // tb, 3, tb * n_pad), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(
         x,

@@ -1,0 +1,873 @@
+"""Fused Pallas TRAINING kernels for the point-decoder coupling stack.
+
+The training step's hot path is the inverse decode of the whole cloud
+through n_flows*3 couplings with TRAIN-MODE BatchNorm (reference
+flows.py:95-117 under model.train(); our models/flows.py
+CondAffineCoupling3D with train=True) plus its backward pass. Under XLA
+with full rematerialization the step is HBM-bound: every coupling
+writes its (K, B, f, N) activations to HBM in forward AND recompute, and
+the measured grad/forward ratio sits at the remat floor (~4.7x,
+RESULTS.md round-3 breakdown) — 160 ms/step for the B=64 flagship.
+
+These kernels run the ENTIRE chain on chip:
+
+  * forward (`_fwd_kernel`): grid (K, C) — one grid step per
+    (component, coupling), executed in the training (inverse) order.
+    The cloud state lives in the revisited output block; per coupling
+    the BatchNorm batch statistics are computed on chip (masked to the
+    real points), each coupling's INPUT state is streamed to HBM for
+    the backward, and the (mean, var) pairs are emitted for the
+    running-stat update (flax momentum semantics are applied outside).
+  * backward (`_bwd_kernel`): grid (K, C) in the reverse (direct)
+    order. Hidden activations are recomputed from the saved coupling
+    inputs; the only full-width tensor kept between the in-step passes
+    is n1 (the affine-free-BN output) — everything else is recomputed
+    through the CHEAP dots (the (2f, 3)-shaped W0/W2 maps are ~25x
+    lighter than the (2f, 2f) W1), keeping the heavy-dot count per
+    coupling near the theoretical minimum (W1 fwd recompute, 2x W1^T,
+    dW1). Inner loops batch clouds into wide lane chunks — one-cloud
+    dots are MXU-latency-bound (measured 1.4x SLOWER than XLA before
+    chunking; the eval kernel's lesson) — with the per-cloud FiLM
+    affines applied on static sub-segments.
+    The BatchNorm backward includes the batch-statistic terms
+    (dx = inv*(dy - mean(dy) - xhat*mean(dy*xhat))), masked to real
+    points, exactly matching XLA's autodiff of flax BatchNorm.
+
+HBM traffic per step collapses to the points in/out, one (K, C, 3, L)
+saved-input stream, and the per-coupling weights — instead of every
+hidden activation twice.
+
+Math/weight layout shared with the eval kernel (coupling_kernel.py):
+heads stacked feature-wise (2f) with block-diagonal W1, weights in torch
+(out, in) orientation, warp/keep channel selection folded as zero
+columns/rows (so the packing function's zero-fill scatters also give the
+correct gradient extraction under autodiff). FiLM modulation enters as a
+per-(cloud, coupling) affine `ab` computed OUTSIDE the kernel by
+`film_wb_train` (plain jnp, so its params train by ordinary autodiff
+through the kernel's d_ab output).
+
+Scope: inverse mode (the training decode direction), train-mode BN.
+Eval/sampling stay on coupling_kernel.py; the latent prior flow and
+encoders stay on XLA (they are ~100x smaller).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .coupling_kernel import (
+    _BN_EPS,
+    _EPS,
+    _VMEM_LIMIT,
+    _mxdot,
+    coupling_warps,
+    scanned_to_unrolled_params,
+)
+
+_STAT_ROWS = 4  # [mean0, var0, mean1, var1] per coupling
+# the backward keeps a full-width (f2, B*N) f32 n1 cache (~42 MB at
+# flagship scale) plus wide chunk temporaries; give it the full measured
+# headroom (a 120 MB scratch allocation compiles on v5e)
+_VMEM_LIMIT_BWD = 119 * 1024 * 1024
+
+
+# --------------------------------------------------------------------- #
+# packing                                                               #
+# --------------------------------------------------------------------- #
+
+
+def pack_point_decoder_train(params: Dict, n_flows: int,
+                             scan_layout: bool) -> Dict[str, jax.Array]:
+    """Stack a single decoder's RAW params (no BN folding — train-mode BN
+    statistics are computed in-kernel) into the kernel's packed arrays.
+
+    All leaves are plain gathers/scatters/stacks, so `jax.grad` through
+    this function maps the kernel's dense d_packed cotangents back onto
+    the flax param tree (zero-filled rows/columns contribute nothing).
+    vmap over a leading component axis for the mixture.
+    """
+    if scan_layout:
+        params = scanned_to_unrolled_params(params, n_flows)
+    warps = coupling_warps(n_flows)
+
+    acc = {k: [] for k in (
+        "w0", "bn0_scale", "bn0_bias", "w1", "w2lv", "b2lv", "w2mu",
+        "b2mu", "film_k0", "film_scale", "film_bias", "film_k1",
+        "film_b1",
+    )}
+    for c, warp in enumerate(warps):
+        i, j = divmod(c, 3)
+        cp = params[f"flow{i}_nvp{j + 1}"]
+        keep = tuple(i for i in range(3) if i not in warp)
+        heads = []
+        for head in ("T_logvar", "T_mu"):
+            hp = cp[head]
+            f = hp["sd1"]["kernel"].shape[0]
+            w0 = jnp.zeros((f, 3), hp["sd0"]["kernel"].dtype)
+            w0 = w0.at[:, jnp.asarray(keep)].set(hp["sd0"]["kernel"])
+            w2 = jnp.zeros((3, f), hp["sd2"]["kernel"].dtype)
+            w2 = w2.at[jnp.asarray(warp), :].set(hp["sd2"]["kernel"])
+            b2 = jnp.zeros((3,), hp["sd2"]["bias"].dtype)
+            b2 = b2.at[jnp.asarray(warp)].set(hp["sd2"]["bias"])
+            heads.append((
+                w0, hp["sd0_bn"]["scale"], hp["sd0_bn"]["bias"],
+                hp["sd1"]["kernel"], w2, b2[:, None],
+            ))
+        (w0l, s0l, bb0l, w1l, w2l, b2l) = heads[0]
+        (w0m, s0m, bb0m, w1m, w2m, b2m) = heads[1]
+        f = w1l.shape[0]
+        acc["w0"].append(jnp.concatenate([w0l, w0m], axis=0))   # (2f, 3)
+        acc["bn0_scale"].append(jnp.concatenate([s0l, s0m])[None, :])
+        acc["bn0_bias"].append(jnp.concatenate([bb0l, bb0m])[None, :])
+        w1 = jnp.zeros((2 * f, 2 * f), w1l.dtype)
+        w1 = w1.at[:f, :f].set(w1l).at[f:, f:].set(w1m)
+        acc["w1"].append(w1)
+        zf = jnp.zeros((3, f), w2l.dtype)
+        acc["w2lv"].append(jnp.concatenate([w2l, zf], axis=1))  # (3, 2f)
+        acc["w2mu"].append(jnp.concatenate([zf, w2m], axis=1))
+        acc["b2lv"].append(b2l)                                 # (3, 1)
+        acc["b2mu"].append(b2m)
+        # FiLM nets in head-stacked order (lv_w, lv_b, mu_w, mu_b),
+        # RAW (train-mode film BN stats are computed in film_wb_train)
+        film = [
+            cp[h][n]
+            for h in ("T_logvar", "T_mu")
+            for n in ("cond_w", "cond_b")
+        ]
+        acc["film_k0"].append(
+            jnp.stack([x["film0"]["kernel"] for x in film])
+        )  # (4, G, f)
+        acc["film_scale"].append(
+            jnp.stack([x["film0_bn"]["scale"] for x in film])
+        )  # (4, f)
+        acc["film_bias"].append(
+            jnp.stack([x["film0_bn"]["bias"] for x in film])
+        )
+        acc["film_k1"].append(
+            jnp.stack([x["film1"]["kernel"] for x in film])
+        )  # (4, f, f)
+        acc["film_b1"].append(
+            jnp.stack([x["film1"]["bias"] for x in film])
+        )
+    return {k: jnp.stack(v).astype(jnp.float32) for k, v in acc.items()}
+
+
+def film_wb_train(packed: Dict, g: jax.Array):
+    """Train-mode FiLM affines per (coupling, cloud).
+
+    Returns (ab, film_stats):
+      ab: (C, B, 2, 2f) — ab[..., 0, :] = eps + exp(film_w(g)) (the
+      multiplicative conditioner gain), ab[..., 1, :] = film_b(g); heads
+      stacked (lv | mu) on the last axis.
+      film_stats: (mean, var) of each film0_bn over the batch,
+      each (C, 4, f) in (lv_w, lv_b, mu_w, mu_b) order.
+
+    Pure jnp on purpose: gradients to every film parameter flow through
+    here + the kernel's d_ab output by ordinary autodiff. Matches
+    models/flows.py _FiLMNet with train=True (batch statistics over B).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    h = jnp.einsum("bg,chgf->chbf", g, packed["film_k0"], precision=hp)
+    mean = jnp.mean(h, axis=2)                      # (C, 4, f)
+    var = jnp.mean(jnp.square(h), axis=2) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + _BN_EPS)
+    n = (h - mean[:, :, None]) * inv[:, :, None]
+    n = n * packed["film_scale"][:, :, None] + packed["film_bias"][:, :, None]
+    y = jnp.einsum(
+        "chbf,chfe->chbe", jax.nn.silu(n), packed["film_k1"], precision=hp
+    ) + packed["film_b1"][:, :, None]               # (C, 4, B, f)
+    fw = _EPS + jnp.exp(y[:, 0::2])                 # (C, 2, B, f) lv, mu
+    fb = y[:, 1::2]
+    C, _, B, f = fw.shape
+    # heads onto the feature axis -> (C, B, 2, 2f)
+    fw = jnp.transpose(fw, (0, 2, 1, 3)).reshape(C, B, 2 * f)
+    fb = jnp.transpose(fb, (0, 2, 1, 3)).reshape(C, B, 2 * f)
+    ab = jnp.stack([fw, fb], axis=2)
+    return ab, (mean, var)
+
+
+# --------------------------------------------------------------------- #
+# forward kernel                                                        #
+# --------------------------------------------------------------------- #
+
+
+def _lane_mask(npad: int, n: int, cb: int = 1):
+    """(1, cb * npad) validity mask over a cb-cloud lane chunk."""
+    if npad == n:
+        return None
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, cb * npad), 1)
+    return ((ids % npad) < n).astype(jnp.float32)
+
+
+def _chunk_clouds(B: int, npad: int, lane_target: int) -> int:
+    """Clouds per inner iteration: the widest divisor of B whose lane
+    span fits `lane_target` — one-cloud dots are MXU-latency-bound (the
+    eval kernel's lesson), so the inner loops batch clouds into wide
+    lane segments and apply the per-cloud FiLM affines on static
+    sub-segments."""
+    cb = 1
+    for cand in (32, 16, 8, 4, 2):
+        if B % cand == 0 and cand * npad <= lane_target:
+            cb = cand
+            break
+    return cb
+
+
+def _masked_sums(x, mask):
+    """(sum, sum of squares) over lanes, restricted to real points."""
+    xm = x if mask is None else x * mask
+    s = jnp.sum(xm, axis=1, keepdims=True)
+    ss = jnp.sum(xm * xm, axis=1, keepdims=True)
+    return s, ss
+
+
+def _film_rows(ab_ref, chunk, cb):
+    """FiLM affine rows for the clouds of lane chunk `chunk`:
+    (fw, fb) each (cb, f2) — row j is cloud chunk*cb + j."""
+    rows = [
+        ab_ref[0, 0, pl.ds(chunk * cb + j, 1)][0]  # (2, f2)
+        for j in range(cb)
+    ]
+    fw = jnp.concatenate([r[0:1, :] for r in rows], axis=0)
+    fb = jnp.concatenate([r[1:2, :] for r in rows], axis=0)
+    return fw, fb
+
+
+def _film_apply(n1, fw, fb, npad, cb):
+    """z = fw*n1 + fb with per-cloud (f2,) affines over the cb static
+    lane segments of the chunk."""
+    segs = []
+    for j in range(cb):
+        seg = n1[:, j * npad:(j + 1) * npad]
+        segs.append(fw[j:j + 1, :].T * seg + fb[j:j + 1, :].T)
+    return segs[0] if cb == 1 else jnp.concatenate(segs, axis=1)
+
+
+def _fwd_kernel(C, B, npad, n_real, cb, prec,
+                p_ref, w0_ref, s0_ref, bb0_ref, w1_ref,
+                w2lv_ref, b2lv_ref, w2mu_ref, b2mu_ref, ab_ref,
+                p0_ref, lv_ref, xsave_ref, stats_ref, h2_scr):
+    c = pl.program_id(1)
+    denom = jnp.float32(B * n_real)
+    mask = _lane_mask(npad, n_real, cb)
+    nb = B // cb
+    lc = cb * npad
+
+    @pl.when(c == 0)
+    def _init():
+        p0_ref[...] = p_ref[...]
+        lv_ref[...] = jnp.zeros(lv_ref.shape, jnp.float32)
+
+    # stream this coupling's INPUT state for the backward pass
+    xsave_ref[0, 0] = p0_ref[0]
+
+    w0 = w0_ref[0, 0]        # (f2, 3)
+    scale0 = s0_ref[0, 0].T  # (f2, 1)
+    bias0 = bb0_ref[0, 0].T
+    w1 = w1_ref[0, 0]        # (f2, f2)
+    w2lv = w2lv_ref[0, 0]    # (3, f2)
+    w2mu = w2mu_ref[0, 0]
+    b2lv = b2lv_ref[0, 0]    # (3, 1)
+    b2mu = b2mu_ref[0, 0]
+    f2 = w1.shape[0]
+
+    def h0_of(chunk):
+        xb = p0_ref[0, :, pl.ds(chunk * lc, lc)]  # (3, lc)
+        return xb, _mxdot(w0, xb, prec)           # (f2, lc)
+
+    # pass 1: sd0_bn batch statistics
+    def p1(chunk, carry):
+        s, ss = carry
+        _, h0 = h0_of(chunk)
+        ms, mss = _masked_sums(h0, mask)
+        return s + ms, ss + mss
+
+    z2 = (jnp.zeros((f2, 1), jnp.float32), jnp.zeros((f2, 1), jnp.float32))
+    s, ss = jax.lax.fori_loop(0, nb, p1, z2)
+    mean0 = s / denom
+    var0 = ss / denom - mean0 * mean0
+    inv0 = jax.lax.rsqrt(var0 + _BN_EPS)
+    alpha0 = inv0 * scale0
+    beta0 = bias0 - mean0 * alpha0
+    stats_ref[0, 0, 0:1, :] = mean0.T
+    stats_ref[0, 0, 1:2, :] = var0.T
+
+    # pass 2: sd1_bn batch statistics (h2 cached full-width in VMEM)
+    def p2(chunk, carry):
+        s, ss = carry
+        _, h0 = h0_of(chunk)
+        a = jnp.maximum(alpha0 * h0 + beta0, 0.0)
+        h2 = _mxdot(w1, a, prec)
+        h2_scr[:, pl.ds(chunk * lc, lc)] = h2
+        ms, mss = _masked_sums(h2, mask)
+        return s + ms, ss + mss
+
+    s, ss = jax.lax.fori_loop(0, nb, p2, z2)
+    mean1 = s / denom
+    var1 = ss / denom - mean1 * mean1
+    inv1 = jax.lax.rsqrt(var1 + _BN_EPS)
+    stats_ref[0, 0, 2:3, :] = mean1.T
+    stats_ref[0, 0, 3:4, :] = var1.T
+
+    # pass 3: FiLM + heads + the inverse coupling update
+    def p3(chunk, carry):
+        sl = pl.ds(chunk * lc, lc)
+        h2 = h2_scr[:, sl]
+        n1 = (h2 - mean1) * inv1
+        fw, fb = _film_rows(ab_ref, chunk, cb)
+        fz = jnp.maximum(_film_apply(n1, fw, fb, npad, cb), 0.0)
+        ylv = _mxdot(w2lv, fz, prec) + b2lv
+        ymu = _mxdot(w2mu, fz, prec) + b2mu
+        logvar = jax.nn.soft_sign(ylv)
+        scale = jnp.sqrt(_EPS + jnp.exp(logvar))
+        xb = p0_ref[0, :, sl]
+        p0_ref[0, :, sl] = (xb - ymu) / scale
+        lv_ref[0, :, sl] = lv_ref[0, :, sl] + logvar
+        return carry
+
+    jax.lax.fori_loop(0, nb, p3, 0)
+
+
+# --------------------------------------------------------------------- #
+# backward kernel                                                       #
+# --------------------------------------------------------------------- #
+
+
+def _mxdg(a, b, prec):
+    """Mode-aware `a @ b.T` (contraction over the LAST axis of both) —
+    the lane-contracting weight-gradient dot, without materializing a
+    transpose. Same precision emulation as coupling_kernel._mxdot."""
+    dn = (((1,), (1,)), ((), ()))
+    if prec == "high":
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x, y, dn, preferred_element_type=jnp.float32
+            )
+
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    if prec == "fast":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        a, b, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _film_broadcast(fw, npad, cb):
+    """(cb, f2) per-cloud rows -> (f2, cb*npad) lane-aligned broadcast."""
+    f2 = fw.shape[1]
+    segs = [
+        jnp.broadcast_to(fw[j:j + 1, :].T, (f2, npad)) for j in range(cb)
+    ]
+    return segs[0] if cb == 1 else jnp.concatenate(segs, axis=1)
+
+
+def _head_chain(n1, fw, fb, npad, cb, w2lv, w2mu, b2lv, b2mu, prec):
+    """n1 -> (fw_lanes, z, fz, ylv, ymu, logvar, scale) for a chunk."""
+    z = _film_apply(n1, fw, fb, npad, cb)
+    fw_lanes = _film_broadcast(fw, npad, cb)
+    fz = jnp.maximum(z, 0.0)
+    ylv = _mxdot(w2lv, fz, prec) + b2lv
+    ymu = _mxdot(w2mu, fz, prec) + b2mu
+    logvar = jax.nn.soft_sign(ylv)
+    scale = jnp.sqrt(_EPS + jnp.exp(logvar))
+    return fw_lanes, z, fz, ylv, ymu, logvar, scale
+
+
+def _dchain_from_out(xb, dxout, dlvc, ymu, ylv, logvar, scale):
+    """Cotangents of (ymu, ylv) from the coupling-output cotangent.
+
+    xout = (xb - ymu)/scale; logvar = softsign(ylv);
+    scale = sqrt(eps + exp(logvar)); the logvar-sum output contributes
+    dlvc directly to logvar."""
+    xout = (xb - ymu) / scale
+    dymu = -dxout / scale
+    ds = -dxout * xout / scale
+    dlogvar = dlvc + ds * jnp.exp(logvar) / (2.0 * scale)
+    sg = 1.0 + jnp.abs(ylv)
+    dylv = dlogvar / (sg * sg)
+    return dymu, dylv
+
+
+def _make_bwd_kernel(C, B, npad, n_real, cb, prec):
+    def kernel(xs_ref, stats_ref, w0_ref, s0_ref, bb0_ref, w1_ref,
+               w2lv_ref, b2lv_ref, w2mu_ref, b2mu_ref, ab_ref,
+               dy_ref, dlv_ref,
+               dp_ref, dw0_ref, dbn0_ref, dw1_ref, dw2lv_ref,
+               db2lv_ref, dw2mu_ref, db2mu_ref, dab_ref,
+               n1_scr, dn1_scr, scale_scr):
+        c = pl.program_id(1)
+        denom = jnp.float32(B * n_real)
+        mask = _lane_mask(npad, n_real, cb)
+        nb = B // cb
+        lc = cb * npad
+
+        @pl.when(c == 0)
+        def _init():
+            dp_ref[...] = dy_ref[...]
+
+        mean0 = stats_ref[0, 0, 0:1, :].T  # (f2, 1)
+        var0 = stats_ref[0, 0, 1:2, :].T
+        mean1 = stats_ref[0, 0, 2:3, :].T
+        var1 = stats_ref[0, 0, 3:4, :].T
+        inv0 = jax.lax.rsqrt(var0 + _BN_EPS)
+        inv1 = jax.lax.rsqrt(var1 + _BN_EPS)
+
+        w0 = w0_ref[0, 0]
+        scale0 = s0_ref[0, 0].T
+        bias0 = bb0_ref[0, 0].T
+        w1 = w1_ref[0, 0]
+        w2lv = w2lv_ref[0, 0]
+        w2mu = w2mu_ref[0, 0]
+        b2lv = b2lv_ref[0, 0]
+        b2mu = b2mu_ref[0, 0]
+        f2 = w1.shape[0]
+        w0t = w0.T
+        w1t = w1.T
+        w2lvt = w2lv.T
+        w2mut = w2mu.T
+
+        def base(chunk):
+            sl = pl.ds(chunk * lc, lc)
+            xb = xs_ref[0, 0, :, sl]
+            h0 = _mxdot(w0, xb, prec)
+            n0 = (h0 - mean0) * inv0
+            a = jnp.maximum(n0 * scale0 + bias0, 0.0)
+            return sl, xb, n0, a
+
+        def dn1_of(chunk, sl, xb, n1):
+            """Recompute dn1 (cheap dots only) for a lane chunk."""
+            fw, fb = _film_rows(ab_ref, chunk, cb)
+            fw_lanes, z, fz, ylv, ymu, logvar, scale = _head_chain(
+                n1, fw, fb, npad, cb, w2lv, w2mu, b2lv, b2mu, prec
+            )
+            dxout = dp_ref[0, :, sl]
+            dlvc = dlv_ref[0, :, sl]
+            dymu, dylv = _dchain_from_out(
+                xb, dxout, dlvc, ymu, ylv, logvar, scale
+            )
+            dfz = _mxdot(w2lvt, dylv, prec) + _mxdot(w2mut, dymu, prec)
+            dz = jnp.where(z > 0.0, dfz, 0.0)
+            dn1 = dz * fw_lanes
+            return dn1, dz, dylv, dymu, fz, scale
+
+        # ---- pass A: the ONLY full forward+chain evaluation; caches
+        # n1 / dn1 / scale so the expensive VPU chain (softsign, exp,
+        # sqrt, the W2 head dots) runs once, not once per pass ----
+        def pA(chunk, carry):
+            s_dn1, s_dn1n1, dW2lv, dB2lv, dW2mu, dB2mu = carry
+            sl, xb, n0, a = base(chunk)
+            h2 = _mxdot(w1, a, prec)
+            n1 = (h2 - mean1) * inv1
+            # bf16 cache: the 128 MB physical VMEM cannot hold three f32
+            # full-width caches beside the chunk temporaries (measured
+            # 141.9M). n1's cached copy only feeds the BN1-backward
+            # correction product n1 * mean(dn1*n1) in passes B/C — a
+            # small term where 2^-8 relative error is negligible; the
+            # fresh f32 n1 is used for everything in this pass.
+            n1_scr[:, sl] = n1.astype(jnp.bfloat16)
+            dn1, dz, dylv, dymu, fz, scale = dn1_of(chunk, sl, xb, n1)
+            dn1_scr[:, sl] = dn1
+            scale_scr[:, sl] = scale
+            # per-cloud FiLM cotangents (dz/dylv/dymu vanish on pad
+            # lanes because the output cotangents are zero there)
+            dzn1 = dz * n1
+            for j in range(cb):
+                seg = slice(j * npad, (j + 1) * npad)
+                dfw = jnp.sum(dzn1[:, seg], axis=1, keepdims=True)
+                dfb = jnp.sum(dz[:, seg], axis=1, keepdims=True)
+                b = chunk * cb + j
+                dab_ref[0, 0, pl.ds(b, 1), 0, :] = dfw.T
+                dab_ref[0, 0, pl.ds(b, 1), 1, :] = dfb.T
+            s_dn1 = s_dn1 + jnp.sum(dn1, axis=1, keepdims=True)
+            s_dn1n1 = s_dn1n1 + jnp.sum(dn1 * n1, axis=1, keepdims=True)
+            dW2lv = dW2lv + _mxdg(dylv, fz, prec)   # (3, f2)
+            dB2lv = dB2lv + jnp.sum(dylv, axis=1, keepdims=True)
+            dW2mu = dW2mu + _mxdg(dymu, fz, prec)
+            dB2mu = dB2mu + jnp.sum(dymu, axis=1, keepdims=True)
+            return s_dn1, s_dn1n1, dW2lv, dB2lv, dW2mu, dB2mu
+
+        zf = jnp.zeros((f2, 1), jnp.float32)
+        z3 = jnp.zeros((3, 1), jnp.float32)
+        z3f = jnp.zeros((3, f2), jnp.float32)
+        s_dn1, s_dn1n1, dW2lv, dB2lv, dW2mu, dB2mu = jax.lax.fori_loop(
+            0, nb, pA, (zf, zf, z3f, z3, z3f, z3)
+        )
+        mdn1 = s_dn1 / denom
+        mdn1n1 = s_dn1n1 / denom
+        dw2lv_ref[0, 0] = dW2lv
+        db2lv_ref[0, 0] = dB2lv.T
+        dw2mu_ref[0, 0] = dW2mu
+        db2mu_ref[0, 0] = dB2mu.T
+
+        # ---- pass B: BN1 backward; dW1; BN0 sums (all from caches) ----
+        def pB(chunk, carry):
+            dW1, dsc0, dbi0, s_dn0, s_dn0n0 = carry
+            sl, xb, n0, a = base(chunk)
+            n1 = n1_scr[:, sl].astype(jnp.float32)
+            dn1 = dn1_scr[:, sl]
+            dh2 = inv1 * (dn1 - mdn1 - n1 * mdn1n1)
+            if mask is not None:
+                dh2 = dh2 * mask
+            dW1 = dW1 + _mxdg(dh2, a, prec)
+            da = _mxdot(w1t, dh2, prec)
+            dabn = jnp.where(a > 0.0, da, 0.0)
+            dsc0 = dsc0 + jnp.sum(dabn * n0, axis=1, keepdims=True)
+            dbi0 = dbi0 + jnp.sum(dabn, axis=1, keepdims=True)
+            dn0 = dabn * scale0
+            s_dn0 = s_dn0 + jnp.sum(dn0, axis=1, keepdims=True)
+            s_dn0n0 = s_dn0n0 + jnp.sum(dn0 * n0, axis=1, keepdims=True)
+            return dW1, dsc0, dbi0, s_dn0, s_dn0n0
+
+        zff = jnp.zeros((f2, f2), jnp.float32)
+        dW1, dsc0, dbi0, s_dn0, s_dn0n0 = jax.lax.fori_loop(
+            0, nb, pB, (zff, zf, zf, zf, zf)
+        )
+        mdn0 = s_dn0 / denom
+        mdn0n0 = s_dn0n0 / denom
+        dw1_ref[0, 0] = dW1
+        dbn0_ref[0, 0, 0:1, :] = dsc0.T
+        dbn0_ref[0, 0, 1:2, :] = dbi0.T
+
+        # ---- pass C: BN0 backward; dW0; input cotangent. dh2 is three
+        # VPU ops from the caches; da's W1^T dot is recomputed — a
+        # full-width da cache would not fit beside the other three ----
+        def pC(chunk, carry):
+            dW0 = carry
+            sl, xb, n0, a = base(chunk)
+            n1 = n1_scr[:, sl].astype(jnp.float32)
+            dn1 = dn1_scr[:, sl]
+            scale = scale_scr[:, sl]
+            dh2 = inv1 * (dn1 - mdn1 - n1 * mdn1n1)
+            if mask is not None:
+                dh2 = dh2 * mask
+            da = _mxdot(w1t, dh2, prec)
+            dabn = jnp.where(a > 0.0, da, 0.0)
+            dn0 = dabn * scale0
+            dh0 = inv0 * (dn0 - mdn0 - n0 * mdn0n0)
+            if mask is not None:
+                dh0 = dh0 * mask
+            dW0 = dW0 + _mxdg(dh0, xb, prec)       # (f2, 3)
+            dx = dp_ref[0, :, sl] / scale + _mxdot(w0t, dh0, prec)
+            dp_ref[0, :, sl] = dx
+            return dW0
+
+        dW0 = jax.lax.fori_loop(0, nb, pC, jnp.zeros((f2, 3), jnp.float32))
+        dw0_ref[0, 0] = dW0
+
+    return kernel
+
+
+# --------------------------------------------------------------------- #
+# pallas_call wrappers + custom_vjp                                     #
+# --------------------------------------------------------------------- #
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _to_lanes(p):
+    """(K, B, 3, N) -> (K, 3, B * npad) cloud-major lane layout."""
+    K, B, _, N = p.shape
+    npad = _round_up(N, 128)
+    x = p.astype(jnp.float32)
+    if npad != N:
+        x = jnp.concatenate(
+            [x, jnp.zeros((K, B, 3, npad - N), jnp.float32)], axis=3
+        )
+    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(K, 3, B * npad)
+    return x, npad
+
+
+def _from_lanes(x, B, npad, N):
+    K = x.shape[0]
+    x = x.reshape(K, 3, B, npad)
+    return jnp.transpose(x, (0, 2, 1, 3))[:, :, :, :N]
+
+
+def _wspec(arr, C):
+    """Per-(component, coupling) weight block in the training (inverse)
+    execution order: grid step c runs coupling C-1-c."""
+    s = arr.shape[2:]
+    return pl.BlockSpec(
+        (1, 1) + s, lambda k, c: (k, C - 1 - c) + (0,) * len(s)
+    )
+
+
+def _wspec_fwdorder(arr):
+    s = arr.shape[2:]
+    return pl.BlockSpec(
+        (1, 1) + s, lambda k, c: (k, c) + (0,) * len(s)
+    )
+
+
+def _ospec(tail: Tuple[int, ...]):
+    """Per-(k, c) output block in forward coupling order."""
+    return pl.BlockSpec(
+        (1, 1) + tuple(tail), lambda k, c: (k, c) + (0,) * len(tail)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "precision_mode")
+)
+def _fwd_call(packed, ab, p, interpret, precision_mode):
+    K, B, _, N = p.shape
+    C = packed["w1"].shape[1]
+    f2 = packed["w1"].shape[2]
+    x, npad = _to_lanes(p)
+    L = B * npad
+    cb = _chunk_clouds(B, npad, 16384)
+
+    grid = (K, C)
+    state_spec = pl.BlockSpec((1, 3, L), lambda k, c: (k, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, C, B, npad, N, cb, precision_mode),
+        grid=grid,
+        in_specs=[
+            state_spec,                      # p (resident per k row)
+            _wspec(packed["w0"], C),
+            _wspec(packed["bn0_scale"], C),
+            _wspec(packed["bn0_bias"], C),
+            _wspec(packed["w1"], C),
+            _wspec(packed["w2lv"], C),
+            _wspec(packed["b2lv"], C),
+            _wspec(packed["w2mu"], C),
+            _wspec(packed["b2mu"], C),
+            _wspec(ab, C),                   # (K, C, B, 2, f2)
+        ],
+        out_specs=[
+            state_spec,                      # p0 (the carried state)
+            state_spec,                      # logvar sum
+            pl.BlockSpec((1, 1, 3, L),
+                         lambda k, c: (k, C - 1 - c, 0, 0)),  # saved x
+            pl.BlockSpec((1, 1, _STAT_ROWS, f2),
+                         lambda k, c: (k, C - 1 - c, 0, 0)),  # bn stats
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, 3, L), jnp.float32),
+            jax.ShapeDtypeStruct((K, 3, L), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 3, L), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, _STAT_ROWS, f2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f2, L), jnp.float32),  # h2 cache
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(
+        x,
+        packed["w0"], packed["bn0_scale"], packed["bn0_bias"],
+        packed["w1"], packed["w2lv"], packed["b2lv"],
+        packed["w2mu"], packed["b2mu"], ab,
+    )
+    p0, lv, xsave, stats = out
+    return (
+        _from_lanes(p0, B, npad, N),
+        _from_lanes(lv, B, npad, N),
+        xsave,
+        stats,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "precision_mode")
+)
+def _bwd_call(packed, ab, xsave, stats, dp0, dlv, interpret,
+              precision_mode):
+    K, C = stats.shape[:2]
+    f2 = stats.shape[3]
+    B = ab.shape[2]
+    N = dp0.shape[3]
+    dy, npad = _to_lanes(dp0)
+    dlv_l, _ = _to_lanes(dlv)
+    L = B * npad
+    # narrower chunks than the forward: three full-width caches leave
+    # ~30 MB for pass-A's live set (measured: 8192-lane chunks overflow
+    # the 128 MB physical VMEM by ~1.5 MB at flagship scale)
+    cb = _chunk_clouds(B, npad, 4096)
+
+    state_spec = pl.BlockSpec((1, 3, L), lambda k, c: (k, 0, 0))
+    out = pl.pallas_call(
+        _make_bwd_kernel(C, B, npad, N, cb, precision_mode),
+        grid=(K, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, 3, L), lambda k, c: (k, c, 0, 0)),  # xsave
+            _wspec_fwdorder(stats),
+            _wspec_fwdorder(packed["w0"]),
+            _wspec_fwdorder(packed["bn0_scale"]),
+            _wspec_fwdorder(packed["bn0_bias"]),
+            _wspec_fwdorder(packed["w1"]),
+            _wspec_fwdorder(packed["w2lv"]),
+            _wspec_fwdorder(packed["b2lv"]),
+            _wspec_fwdorder(packed["w2mu"]),
+            _wspec_fwdorder(packed["b2mu"]),
+            _wspec_fwdorder(ab),
+            state_spec,  # dY (p0 cotangent)
+            state_spec,  # dLV (logvar-sum cotangent)
+        ],
+        out_specs=[
+            state_spec,  # running input cotangent -> d p
+            _ospec((f2, 3)),
+            _ospec((2, f2)),
+            _ospec((f2, f2)),
+            _ospec((3, f2)),
+            _ospec((1, 3)),
+            _ospec((3, f2)),
+            _ospec((1, 3)),
+            _ospec(ab.shape[2:]),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, 3, L), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, f2, 3), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 2, f2), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, f2, f2), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 3, f2), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 1, 3), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 3, f2), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 1, 3), jnp.float32),
+            jax.ShapeDtypeStruct(ab.shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f2, L), jnp.bfloat16),  # n1 cache (see pA note)
+            pltpu.VMEM((f2, L), jnp.float32),   # dn1 cache
+            pltpu.VMEM((3, L), jnp.float32),    # scale cache
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BWD
+        ),
+        interpret=interpret,
+    )(
+        xsave, stats,
+        packed["w0"], packed["bn0_scale"], packed["bn0_bias"],
+        packed["w1"], packed["w2lv"], packed["b2lv"],
+        packed["w2mu"], packed["b2mu"], ab,
+        dy, dlv_l,
+    )
+    (dp_l, dw0, dbn0, dw1, dw2lv, db2lv, dw2mu, db2mu, dab) = out
+    d_packed = {
+        "w0": dw0,
+        "bn0_scale": dbn0[:, :, 0][:, :, None, :],
+        "bn0_bias": dbn0[:, :, 1][:, :, None, :],
+        "w1": dw1,
+        "w2lv": dw2lv,
+        "b2lv": jnp.transpose(db2lv, (0, 1, 3, 2)),
+        "w2mu": dw2mu,
+        "b2mu": jnp.transpose(db2mu, (0, 1, 3, 2)),
+        # film params get their cotangents via d_ab -> film_wb_train
+        "film_k0": jnp.zeros_like(packed["film_k0"]),
+        "film_scale": jnp.zeros_like(packed["film_scale"]),
+        "film_bias": jnp.zeros_like(packed["film_bias"]),
+        "film_k1": jnp.zeros_like(packed["film_k1"]),
+        "film_b1": jnp.zeros_like(packed["film_b1"]),
+    }
+    return _from_lanes(dp_l, B, npad, N), d_packed, dab
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_train_decode(packed, ab, p, interpret=False,
+                       precision_mode="highest"):
+    """Train-mode inverse decode of the full coupling stack.
+
+    packed: pack_point_decoder_train output with a leading component
+    axis K on every leaf; ab: (K, C, B, 2, 2f) from film_wb_train
+    (vmapped over K); p: (K, B, 3, N) points.
+
+    Returns (p0, logvar_sum, bn_stats) where bn_stats is
+    (K, C, 4, 2f) = per-coupling [sd0_bn mean, sd0_bn var, sd1_bn mean,
+    sd1_bn var] (heads stacked lv|mu on the last axis) for the
+    running-statistics update. Differentiable in packed/ab/p with a
+    hand-written Pallas backward; the stats output is non-differentiable
+    (its cotangent is discarded, matching flax's running-stat update
+    which is outside the loss graph).
+    """
+    p0, lv, _, stats = _fwd_call(packed, ab, p, interpret,
+                                 precision_mode)
+    return p0, lv, stats
+
+
+def decoder_stats_update(old_stats, kernel_stats, film_stats,
+                         n_flows: int, scan_layout: bool,
+                         momentum: float = 0.9):
+    """Fold the kernel-computed batch statistics into the decoder's
+    batch_stats collection with flax running-average semantics
+    (ra = momentum * ra + (1 - momentum) * batch; ops/layers.py
+    batch_norm uses momentum 0.9 = torch 0.1).
+
+    kernel_stats: (K, C, 4, 2f) from fused_train_decode;
+    film_stats: (mean, var) each (K, C, 4, f) from film_wb_train
+    (vmapped over K); old_stats: the decoder's current batch_stats
+    subtree (unrolled or scanned layout to match `scan_layout`).
+    """
+    from ...models.flows import unrolled_to_scanned_params  # cycle-safe
+
+    f = kernel_stats.shape[3] // 2
+    C = kernel_stats.shape[1]
+    fmean, fvar = film_stats
+    tree = {}
+    for c in range(C):
+        i, j = divmod(c, 3)
+        heads = {}
+        for hi, head in enumerate(("T_logvar", "T_mu")):
+            sl = slice(hi * f, (hi + 1) * f)
+            heads[head] = {
+                "sd0_bn": {"mean": kernel_stats[:, c, 0, sl],
+                           "var": kernel_stats[:, c, 1, sl]},
+                "sd1_bn": {"mean": kernel_stats[:, c, 2, sl],
+                           "var": kernel_stats[:, c, 3, sl]},
+                # film nets in (lv_w, lv_b, mu_w, mu_b) order
+                "cond_w": {"film0_bn": {
+                    "mean": fmean[:, c, 2 * hi],
+                    "var": fvar[:, c, 2 * hi],
+                }},
+                "cond_b": {"film0_bn": {
+                    "mean": fmean[:, c, 2 * hi + 1],
+                    "var": fvar[:, c, 2 * hi + 1],
+                }},
+            }
+        tree[f"flow{i}_nvp{j + 1}"] = heads
+    if scan_layout:
+        # leaves carry the component axis K in front; vmap the layout
+        # conversion so the scan-pair axis stacks at position 1
+        # (matching nn.vmap-over-nn.scan: (K, n_pairs, ...))
+        tree = jax.vmap(
+            lambda t: unrolled_to_scanned_params(t, n_flows)
+        )(tree)
+    return jax.tree.map(
+        lambda o, b: momentum * o + (1.0 - momentum) * b, old_stats, tree
+    )
+
+
+def _fused_fwd(packed, ab, p, interpret, precision_mode):
+    p0, lv, xsave, stats = _fwd_call(packed, ab, p, interpret,
+                                     precision_mode)
+    return (p0, lv, stats), (packed, ab, xsave, stats)
+
+
+def _fused_bwd(interpret, precision_mode, res, cts):
+    packed, ab, xsave, stats = res
+    dp0, dlv, _dstats = cts
+    dp, d_packed, dab = _bwd_call(
+        packed, ab, xsave, stats, dp0, dlv, interpret, precision_mode
+    )
+    return d_packed, dab, dp
+
+
+fused_train_decode.defvjp(_fused_fwd, _fused_bwd)

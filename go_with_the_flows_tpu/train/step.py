@@ -20,6 +20,71 @@ from ..losses import flow_mixture_loss
 from .state import TrainState
 
 
+def _use_fused_decoder(fused_decoder) -> bool:
+    """Resolve the fused-training-decoder gate at trace time.
+
+    None = auto: only on TPU (the kernel interprets elsewhere, which is
+    far slower than XLA), only WITHOUT a >1-device mesh — under SPMD
+    the XLA path's BatchNorm computes GLOBAL batch statistics (the
+    SyncBN semantics, parallel/mesh.py), which the per-shard kernel
+    would not reproduce — and only at 'high'/'fast' matmul precision:
+    measured on v5e (B=64 flagship, tools/train_fused_bench.py), the
+    fused step wins 136 -> 118 ms at 'high' and 127 -> 53 ms at 'fast'
+    (XLA is HBM-bound there), but at 'highest' both paths are bound by
+    the 6-pass f32 MXU emulation and XLA's overlap wins (158 vs ~190)."""
+    if fused_decoder is None:
+        if jax.default_backend() != "tpu":
+            return False
+        from ..ops.pallas.coupling_kernel import _kernel_precision_mode
+
+        if _kernel_precision_mode() not in ("high", "fast"):
+            return False
+        mesh = jax.sharding.get_abstract_mesh()
+        return mesh.empty or mesh.size == 1
+    return bool(fused_decoder)
+
+
+def _fused_training_decode(model, params, g_sample, p_clouds):
+    """Run the point-decoder inverse through the fused Pallas training
+    kernel (ops/pallas/train_kernel.py). Returns (p0, logvar_sums,
+    stats-update closure for the new batch_stats subtree)."""
+    from ..models.mixture import reduce_decoder_params
+    from ..ops.pallas.coupling_kernel import _kernel_precision_mode
+    from ..ops.pallas.train_kernel import (
+        decoder_stats_update,
+        film_wb_train,
+        fused_train_decode,
+        pack_point_decoder_train,
+    )
+
+    depth, _ = reduce_decoder_params(
+        model.n_components, model.params_reduce_mode,
+        model.p_decoder_n_flows, model.p_decoder_n_features,
+        model.g_latent_space_size,
+    )
+    scan = model.scan_couplings
+    packed = jax.vmap(
+        lambda pr: pack_point_decoder_train(pr, depth, scan)
+    )(params["pc_decoder"])
+    ab, film_stats = jax.vmap(film_wb_train, in_axes=(0, None))(
+        packed, g_sample
+    )
+    K = model.n_components
+    p_stack = jnp.broadcast_to(p_clouds[None], (K,) + p_clouds.shape)
+    p0, lv, stats = fused_train_decode(
+        packed, ab, p_stack,
+        jax.default_backend() != "tpu",  # interpret (tests)
+        _kernel_precision_mode(),
+    )
+
+    def stats_update(old_decoder_stats):
+        return decoder_stats_update(
+            old_decoder_stats, stats, film_stats, depth, scan
+        )
+
+    return p0, lv, stats_update
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -27,6 +92,7 @@ def make_train_step(
     gnll_weight: float = 1.0,
     gent_weight: float = 1.0,
     svr: bool = False,
+    fused_decoder: bool | None = None,
 ) -> Callable:
     """Build the jitted training step.
 
@@ -35,7 +101,18 @@ def make_train_step(
 
     The per-step RNG is folded with the step counter so resume reproduces
     the same sample stream.
+
+    `fused_decoder`: run the point-decoder inverse + backward through the
+    fused Pallas training kernel (the step's hot path — the XLA version
+    is HBM-bound at reduced precisions). None = auto (TPU, single
+    device, 'high'/'fast' matmul precision — see _use_fused_decoder for
+    the measured win matrix); True forces it (interpret mode off-TPU —
+    tests); False keeps the XLA path. Gradients and loss match the XLA
+    path to fp32 roundoff (tests/test_train_kernel.py); BatchNorm
+    running stats are updated with identical flax semantics from the
+    kernel's on-chip batch statistics.
     """
+    use_fused = _use_fused_decoder(fused_decoder)
 
     @functools.partial(
         jax.jit, static_argnames=("warmup",), donate_argnums=(0,)
@@ -46,7 +123,8 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            kwargs = dict(mode="training", warmup=warmup)
+            kwargs = dict(mode="training", warmup=warmup,
+                          skip_decoder=use_fused)
             if svr:
                 out, mutated = model.apply(
                     variables, g_clouds, p_clouds, images=images,
@@ -59,10 +137,22 @@ def make_train_step(
                     rngs={"sample": step_rng}, mutable=["batch_stats"],
                     **kwargs,
                 )
+            batch_stats = mutated["batch_stats"]
+            if use_fused:
+                p0, lv, stats_update = _fused_training_decode(
+                    model, params, out["g_sample"], p_clouds
+                )
+                out = {**out, "p0_samples": p0, "p_logvar_sums": lv}
+                batch_stats = {
+                    **batch_stats,
+                    "pc_decoder": stats_update(
+                        state.batch_stats["pc_decoder"]
+                    ),
+                }
             loss, metrics = flow_mixture_loss(
                 out, pnll_weight, gnll_weight, gent_weight
             )
-            return loss, (mutated["batch_stats"], metrics)
+            return loss, (batch_stats, metrics)
 
         grads, (batch_stats, metrics) = jax.grad(
             loss_fn, has_aux=True

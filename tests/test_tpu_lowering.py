@@ -101,3 +101,39 @@ def test_fused_coupling_kernel_lowers():
                                                   inverse=inverse),
             packed, ab, p,
         )
+
+
+@pytest.mark.parametrize("mode", ["highest", "high"])
+def test_fused_train_kernel_lowers(mode):
+    """Forward AND hand-written backward of the fused training kernel."""
+    from go_with_the_flows_tpu.models.flows import PointDecoderFlow
+    from go_with_the_flows_tpu.ops.pallas.train_kernel import (
+        film_wb_train,
+        fused_train_decode,
+        pack_point_decoder_train,
+    )
+
+    n_flows, f, G, K, B, N = 2, 8, 12, 2, 4, 256
+    model = PointDecoderFlow(n_flows=n_flows, f_features=f, g_features=G)
+    rng = np.random.RandomState(0)
+    p = jnp.asarray(rng.randn(K, B, 3, N).astype(np.float32) * 0.3)
+    g = jnp.asarray(rng.randn(B, G).astype(np.float32))
+    variables = jax.vmap(
+        lambda k: model.init({"params": k}, p[0], g, mode="inverse",
+                             train=True)
+    )(jax.random.split(jax.random.PRNGKey(0), K))
+    packed = jax.vmap(
+        lambda pr: pack_point_decoder_train(pr, n_flows, False)
+    )(variables["params"])
+    ab, _ = jax.vmap(film_wb_train, in_axes=(0, None))(packed, g)
+
+    _lower_tpu(
+        lambda pk, a_, p_: fused_train_decode(pk, a_, p_, False, mode),
+        packed, ab, p,
+    )
+
+    def loss(pk, a_, p_):
+        p0, lv, _ = fused_train_decode(pk, a_, p_, False, mode)
+        return jnp.sum(p0) + jnp.sum(lv)
+
+    _lower_tpu(jax.grad(loss, argnums=(0, 1, 2)), packed, ab, p)
