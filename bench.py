@@ -41,6 +41,15 @@ with FLOPs/MFU accounting fields:
     with the same honest fetch sync. train_mfu counts decoder fwd+bwd
     FLOPs only (3x forward; encoder/prior/optimizer excluded), so it
     UNDERSTATES utilization slightly.
+  - train_high_clouds_per_sec / train_fast_clouds_per_sec: the same
+    step at 'high' / 'fast' matmul precision, where the fused Pallas
+    TRAINING kernel (ops/pallas/train_kernel.py) auto-engages — the
+    convergence A/B (tools/train_convergence_ab.py) measured identical
+    300-step loss trajectories for all three variants.
+  - pairwise_{cd,emd}_pairs_per_sec / protocol_min_10rep_est: the
+    on-chip pairwise metric-matrix rates (TPU only; the generative
+    MMD/COV/1-NNA hot path) and the extrapolated 10-rep airplane
+    protocol wall time (tools/protocol_bench.py measures it for real).
 
 vs_baseline is the speedup over the CPU baseline measured on the dev box
 (1-core CPU, same program, see CPU_BASELINE_CLOUDS_PER_SEC provenance);
@@ -144,10 +153,11 @@ def _chip_peak_flops() -> float:
 TRAIN_B = 64  # flagship per-chip training batch (scripts/train_*.sh)
 
 
-def _train_bench(model):
+def _train_bench(model, mode: str = "highest"):
     """Flagship jitted train-step throughput (clouds/sec, ms/step) at the
-    training default ('highest'), fori_loop-timed with a fetch sync —
-    the same honest protocol as `timed` below."""
+    given matmul precision, fori_loop-timed with a fetch sync — the same
+    honest protocol as `timed` below. At 'high'/'fast' on TPU the fused
+    Pallas training kernel auto-engages (train/step.py)."""
     from go_with_the_flows_tpu.ops.precision import matmul_precision_scope
     from go_with_the_flows_tpu.optim import make_optimizer
     from go_with_the_flows_tpu.train.state import create_train_state
@@ -160,7 +170,7 @@ def _train_bench(model):
         "eval_cloud": (rng.randn(batch_b, 3, N) * 0.2).astype(np.float32),
     }
     n_iters = 2 if jax.default_backend() == "cpu" else 10
-    with matmul_precision_scope("highest"):
+    with matmul_precision_scope(mode):
         opt = make_optimizer(
             epoch_length=100, cycle_length=4, min_lr=1e-4, max_lr=2.56e-4,
             beta1=0.9, min_beta2=0.99, max_beta2=0.99, wd=1e-6,
@@ -189,6 +199,42 @@ def _train_bench(model):
         float(chk)
         dt = (time.perf_counter() - start) / n_iters
     return batch_b / dt, dt * 1e3
+
+
+def _pairwise_bench(s: int = 64, r: int = 64):
+    """Pairwise metric-matrix rates (the generative-protocol hot path,
+    ops/pallas/pairwise_kernel.py) on a small (s, r) grid, plus the
+    extrapolated 10-rep airplane-protocol wall time (405x405 matrices,
+    rs+rr+ss, CD+EMD+F1 — tools/protocol_bench.py measures it for
+    real)."""
+    from go_with_the_flows_tpu.ops.pallas.pairwise_kernel import (
+        pairwise_cd_stats_pallas,
+        pairwise_emd_pallas,
+    )
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray((rng.randn(s, N, 3) * 0.2).astype(np.float32))
+    b = jnp.asarray((rng.randn(r, N, 3) * 0.2).astype(np.float32))
+
+    def timed_pairs(fn):
+        float(jnp.sum(fn(a, b)[0]))  # compile + fetch
+        start = time.perf_counter()
+        float(jnp.sum(fn(a, b)[0]))
+        return s * r / (time.perf_counter() - start)
+
+    cd_rate = timed_pairs(
+        lambda x, y: pairwise_cd_stats_pallas(x, y, f1_threshold=1e-3)
+    )
+    emd_rate = timed_pairs(lambda x, y: (pairwise_emd_pallas(x, y),))
+    protocol_pairs = 3 * 405 * 405
+    protocol_min = (
+        10 * protocol_pairs * (1.0 / cd_rate + 1.0 / emd_rate) / 60.0
+    )
+    return {
+        "pairwise_cd_pairs_per_sec": round(cd_rate, 1),
+        "pairwise_emd_pairs_per_sec": round(emd_rate, 1),
+        "protocol_min_10rep_est": round(protocol_min, 1),
+    }
 
 
 def main(measure_only: bool = False):
@@ -305,6 +351,9 @@ def main(measure_only: bool = False):
         fast_per_sec = timed(cd_variant(), ref)
 
     train_per_sec, train_step_ms = _train_bench(model)
+    train_high_per_sec, _ = _train_bench(model, "high")
+    train_fast_per_sec, _ = _train_bench(model, "fast")
+    pairwise = _pairwise_bench() if on_tpu else {}
 
     # FLOPs accounting (see module docstring). The decoder flops are
     # ANALYTIC: XLA's cost analysis counts a while/scan body once, not
@@ -350,6 +399,9 @@ def main(measure_only: bool = False):
         "train_clouds_per_sec": round(train_per_sec, 2),
         "train_step_ms": round(train_step_ms, 2),
         "train_mfu": round(train_sustained / peak, 4),
+        "train_high_clouds_per_sec": round(train_high_per_sec, 2),
+        "train_fast_clouds_per_sec": round(train_fast_per_sec, 2),
+        **pairwise,
         "device_kind": jax.devices()[0].device_kind,
     }))
 
