@@ -98,9 +98,14 @@ def main():
     )
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 
-    # parity-first default: fp32 matmul passes in the model stack (see
-    # ops/precision.py and the RESULTS.md on-TPU parity audit)
-    set_matmul_precision(config.get("matmul_precision", "highest"))
+    # TRAINING default 'high' (3-pass bf16-split, ~f32 accuracy): the
+    # on-TPU drift audit shows loss terms agree with the fp32 oracle to
+    # ~1e-6 rel, and the 300-step convergence A/B on real TPU is
+    # indistinguishable from 'highest' (RESULTS.md) — while engaging the
+    # fused Pallas training kernel (136 -> 118 ms/step; 'fast' opt-in
+    # reaches 53 ms). Set `matmul_precision: highest` for strict
+    # fp32-pass parity with the torch reference.
+    set_matmul_precision(config.get("matmul_precision", "high"))
     config["logging"] = jax.process_index() == 0
     if config["logging"]:
         os.makedirs(config["logging_path"], exist_ok=True)

@@ -78,7 +78,10 @@ def main():
     )
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 
-    set_matmul_precision(config.get("matmul_precision", "highest"))
+    # training default 'high' — same evidence base as train_ae.py
+    # (drift audit + convergence A/B, RESULTS.md); 'highest' opts into
+    # strict fp32-pass parity
+    set_matmul_precision(config.get("matmul_precision", "high"))
     config["logging"] = jax.process_index() == 0
     if config["logging"]:
         os.makedirs(config["logging_path"], exist_ok=True)
