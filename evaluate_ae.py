@@ -47,6 +47,16 @@ def main():
 
     import jax
 
+    from go_with_the_flows_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+        require_backend,
+    )
+
+    enable_compilation_cache()
+    require_backend()
+    print(f"jax backend: {jax.default_backend()} "
+          f"({jax.device_count()} device(s))", flush=True)
+
     from go_with_the_flows_tpu.utils.config import (
         load_config, model_config_kwargs,
     )

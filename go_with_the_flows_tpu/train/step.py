@@ -112,13 +112,16 @@ def make_train_step(
     running stats are updated with identical flax semantics from the
     kernel's on-chip batch statistics.
     """
-    use_fused = _use_fused_decoder(fused_decoder)
-
     @functools.partial(
         jax.jit, static_argnames=("warmup",), donate_argnums=(0,)
     )
     def train_step(state: TrainState, g_clouds, p_clouds, rng,
                    images=None, warmup: bool = False):
+        # resolved at TRACE time (inside jit): the CLIs build the step
+        # BEFORE entering `jax.set_mesh`, so only here is the mesh the
+        # step actually runs under visible (a retrace under a different
+        # mesh re-resolves it)
+        use_fused = _use_fused_decoder(fused_decoder)
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):

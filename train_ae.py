@@ -56,6 +56,20 @@ def main():
 
     import jax
 
+    from go_with_the_flows_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+        require_backend,
+    )
+
+    enable_compilation_cache()
+    require_backend()
+    # visibility against the silent-CPU-fallback trap: a flapping TPU
+    # runtime can fail init and jax quietly selects the CPU backend —
+    # a flagship epoch then takes minutes of host compute instead of
+    # sub-second device steps. One loud line makes it diagnosable.
+    print(f"jax backend: {jax.default_backend()} "
+          f"({jax.device_count()} device(s))", flush=True)
+
     from go_with_the_flows_tpu.utils.config import (
         load_config, resolve_config, model_config_kwargs, count_params,
     )
