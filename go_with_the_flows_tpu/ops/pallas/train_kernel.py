@@ -171,6 +171,10 @@ def film_wb_train(packed: Dict, g: jax.Array):
     Pure jnp on purpose: gradients to every film parameter flow through
     here + the kernel's d_ab output by ordinary autodiff. Matches
     models/flows.py _FiLMNet with train=True (batch statistics over B).
+    The tiny (B, G) x (G, f) dots are pinned HIGHEST regardless of the
+    session precision mode — they are ~0.1% of the step's FLOPs and the
+    film path is the gradient-noise-sensitive one (see the f64 study in
+    RESULTS.md).
     """
     hp = jax.lax.Precision.HIGHEST
     h = jnp.einsum("bg,chgf->chbf", g, packed["film_k0"], precision=hp)
