@@ -121,3 +121,18 @@ def test_resume_cli(workdir):
     ])
     assert "Resumed from epoch 2" in out
     assert "Epoch: [3]" in out or "eval loss" in out
+
+
+def test_require_backend_guard(monkeypatch):
+    """GWTF_REQUIRE_BACKEND mismatch exits; match and unset pass."""
+    from go_with_the_flows_tpu.utils.compile_cache import require_backend
+
+    monkeypatch.delenv("GWTF_REQUIRE_BACKEND", raising=False)
+    require_backend()  # unset: no-op
+    import jax
+
+    monkeypatch.setenv("GWTF_REQUIRE_BACKEND", jax.default_backend())
+    require_backend()  # match: no-op
+    monkeypatch.setenv("GWTF_REQUIRE_BACKEND", "nonexistent-backend")
+    with pytest.raises(SystemExit):
+        require_backend()
