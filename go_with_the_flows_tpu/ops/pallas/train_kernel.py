@@ -201,6 +201,66 @@ def film_wb_train(packed: Dict, g: jax.Array):
 # --------------------------------------------------------------------- #
 
 
+def _global_stat_sums(s, ss, parity, axis_name, n_shards,
+                      acc_ref, recv_ref, send_sem, recv_sem):
+    """All-reduce two per-shard (f2, 1) stat partial sums across the
+    `axis_name` shards with IN-KERNEL remote DMAs: an all-to-all
+    broadcast of one (1, 2, f2) message per device plus a local sum.
+    This is what lets the fused training kernel keep GLOBAL-batch
+    (SyncBN) BatchNorm semantics under SPMD without splitting the
+    coupling chain into per-BN pallas_calls (which would re-materialize
+    the HBM traffic the fusion removes).
+
+    Safety of slot reuse (the classic double-buffering argument):
+    exchanges strictly alternate parity 0/1 within and across grid
+    steps on every device. A peer writes my parity-p slot again only in
+    exchange n+2; it can start exchange n+2 only after completing n+1,
+    which requires MY n+1 message, which I send only after consuming my
+    parity-p buffer in exchange n. So every overwrite happens-after my
+    read. The recv semaphore is per-parity so byte counts of adjacent
+    exchanges never mix.
+    """
+    # message layout: row 0 = sum, row 1 = sum of squares
+    acc_ref[0, 0, :] = s[:, 0]
+    acc_ref[0, 1, :] = ss[:, 0]
+    my = jax.lax.axis_index(axis_name)
+    copies = []
+    for off in range(1, n_shards):
+        dst = jax.lax.rem(my + jnp.int32(off), jnp.int32(n_shards))
+        copy = pltpu.make_async_remote_copy(
+            src_ref=acc_ref,
+            # slot = SENDER id: writers never collide
+            dst_ref=recv_ref.at[parity, pl.ds(my, 1)],
+            send_sem=send_sem,
+            recv_sem=recv_sem.at[parity],
+            # dict form: other mesh axes (e.g. a size-1 'points' axis)
+            # keep the sender's own coordinates
+            device_id={axis_name: dst},
+        )
+        copy.start()
+        copies.append(copy)
+    # my own slot, written locally (no DMA)
+    recv_ref[parity, pl.ds(my, 1)] = acc_ref[...]
+    for c in copies:
+        c.wait_send()
+    # all incoming messages are shape-identical and signal the same
+    # per-parity semaphore: waiting one descriptor n-1 times drains them
+    for _ in range(n_shards - 1):
+        copies[0].wait_recv()
+    total = jnp.sum(recv_ref[parity], axis=0)  # (2, f2)
+    return total[0:1, :].T, total[1:2, :].T    # (f2, 1) each
+
+
+def _xchg_scratch(n_shards: int, f2: int):
+    """Extra scratch for the cross-shard stat exchange (n_shards > 1)."""
+    return [
+        pltpu.VMEM((1, 2, f2), jnp.float32),           # outgoing message
+        pltpu.VMEM((2, n_shards, 2, f2), jnp.float32),  # per-parity slots
+        pltpu.SemaphoreType.DMA,                        # send
+        pltpu.SemaphoreType.DMA((2,)),                  # recv, per parity
+    ]
+
+
 def _lane_mask(npad: int, n: int, cb: int = 1):
     """(1, cb * npad) validity mask over a cb-cloud lane chunk."""
     if npad == n:
@@ -253,12 +313,15 @@ def _film_apply(n1, fw, fb, npad, cb):
     return segs[0] if cb == 1 else jnp.concatenate(segs, axis=1)
 
 
-def _fwd_kernel(C, B, npad, n_real, cb, prec,
+def _fwd_kernel(C, B, npad, n_real, cb, prec, axis_name, n_shards,
                 p_ref, w0_ref, s0_ref, bb0_ref, w1_ref,
                 w2lv_ref, b2lv_ref, w2mu_ref, b2mu_ref, ab_ref,
-                p0_ref, lv_ref, xsave_ref, stats_ref, h2_scr):
+                p0_ref, lv_ref, xsave_ref, stats_ref, h2_scr,
+                *xchg_refs):
     c = pl.program_id(1)
-    denom = jnp.float32(B * n_real)
+    # B is the LOCAL (per-shard) batch; BN statistics divide by the
+    # GLOBAL point count (SyncBN semantics, parallel/mesh.py)
+    denom = jnp.float32(n_shards * B * n_real)
     mask = _lane_mask(npad, n_real, cb)
     nb = B // cb
     lc = cb * npad
@@ -294,6 +357,9 @@ def _fwd_kernel(C, B, npad, n_real, cb, prec,
 
     z2 = (jnp.zeros((f2, 1), jnp.float32), jnp.zeros((f2, 1), jnp.float32))
     s, ss = jax.lax.fori_loop(0, nb, p1, z2)
+    if n_shards > 1:
+        s, ss = _global_stat_sums(s, ss, 0, axis_name, n_shards,
+                                  *xchg_refs)
     mean0 = s / denom
     var0 = ss / denom - mean0 * mean0
     inv0 = jax.lax.rsqrt(var0 + _BN_EPS)
@@ -313,6 +379,9 @@ def _fwd_kernel(C, B, npad, n_real, cb, prec,
         return s + ms, ss + mss
 
     s, ss = jax.lax.fori_loop(0, nb, p2, z2)
+    if n_shards > 1:
+        s, ss = _global_stat_sums(s, ss, 1, axis_name, n_shards,
+                                  *xchg_refs)
     mean1 = s / denom
     var1 = ss / denom - mean1 * mean1
     inv1 = jax.lax.rsqrt(var1 + _BN_EPS)
@@ -346,7 +415,12 @@ def _fwd_kernel(C, B, npad, n_real, cb, prec,
 def _mxdg(a, b, prec):
     """Mode-aware `a @ b.T` (contraction over the LAST axis of both) —
     the lane-contracting weight-gradient dot, without materializing a
-    transpose. Same precision emulation as coupling_kernel._mxdot."""
+    transpose. Same precision emulation as coupling_kernel._mxdot,
+    including the tripled-contraction fusion when it saves MXU chunks
+    (never here in practice: the contraction is the lane axis, and
+    3 * lanes is a 128-multiple whenever lanes is)."""
+    from .coupling_kernel import _concat_saves_chunks
+
     dn = (((1,), (1,)), ((), ()))
     if prec == "high":
         a_hi = a.astype(jnp.bfloat16)
@@ -359,6 +433,11 @@ def _mxdg(a, b, prec):
                 x, y, dn, preferred_element_type=jnp.float32
             )
 
+        if _concat_saves_chunks(a.shape[1]):
+            return d(
+                jnp.concatenate([a_hi, a_hi, a_lo], axis=1),
+                jnp.concatenate([b_hi, b_lo, b_hi], axis=1),
+            )
         return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
     if prec == "fast":
         return jax.lax.dot_general(
@@ -407,15 +486,20 @@ def _dchain_from_out(xb, dxout, dlvc, ymu, ylv, logvar, scale):
     return dymu, dylv
 
 
-def _make_bwd_kernel(C, B, npad, n_real, cb, prec):
+def _make_bwd_kernel(C, B, npad, n_real, cb, prec, axis_name=None,
+                     n_shards=1):
     def kernel(xs_ref, stats_ref, w0_ref, s0_ref, bb0_ref, w1_ref,
                w2lv_ref, b2lv_ref, w2mu_ref, b2mu_ref, ab_ref,
                dy_ref, dlv_ref,
                dp_ref, dw0_ref, dbn0_ref, dw1_ref, dw2lv_ref,
                db2lv_ref, dw2mu_ref, db2mu_ref, dab_ref,
-               n1_scr, dn1_scr, scale_scr):
+               n1_scr, dn1_scr, scale_scr, *xchg_refs):
         c = pl.program_id(1)
-        denom = jnp.float32(B * n_real)
+        # the BN backward's batch-statistic terms reduce over the
+        # GLOBAL batch (matching the forward's SyncBN semantics); the
+        # weight-gradient accumulators stay per-shard partial sums
+        # (psummed at the shard_map level)
+        denom = jnp.float32(n_shards * B * n_real)
         mask = _lane_mask(npad, n_real, cb)
         nb = B // cb
         lc = cb * npad
@@ -511,6 +595,10 @@ def _make_bwd_kernel(C, B, npad, n_real, cb, prec):
         s_dn1, s_dn1n1, dW2lv, dB2lv, dW2mu, dB2mu = jax.lax.fori_loop(
             0, nb, pA, (zf, zf, z3f, z3, z3f, z3)
         )
+        if n_shards > 1:
+            s_dn1, s_dn1n1 = _global_stat_sums(
+                s_dn1, s_dn1n1, 0, axis_name, n_shards, *xchg_refs
+            )
         mdn1 = s_dn1 / denom
         mdn1n1 = s_dn1n1 / denom
         dw2lv_ref[0, 0] = dW2lv
@@ -541,6 +629,10 @@ def _make_bwd_kernel(C, B, npad, n_real, cb, prec):
         dW1, dsc0, dbi0, s_dn0, s_dn0n0 = jax.lax.fori_loop(
             0, nb, pB, (zff, zf, zf, zf, zf)
         )
+        if n_shards > 1:
+            s_dn0, s_dn0n0 = _global_stat_sums(
+                s_dn0, s_dn0n0, 1, axis_name, n_shards, *xchg_refs
+            )
         mdn0 = s_dn0 / denom
         mdn0n0 = s_dn0n0 / denom
         dw1_ref[0, 0] = dW1
@@ -628,9 +720,12 @@ def _ospec(tail: Tuple[int, ...]):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "precision_mode")
+    jax.jit,
+    static_argnames=("interpret", "precision_mode", "axis_name",
+                     "n_shards"),
 )
-def _fwd_call(packed, ab, p, interpret, precision_mode):
+def _fwd_call(packed, ab, p, interpret, precision_mode, axis_name=None,
+              n_shards=1):
     K, B, _, N = p.shape
     C = packed["w1"].shape[1]
     f2 = packed["w1"].shape[2]
@@ -640,8 +735,12 @@ def _fwd_call(packed, ab, p, interpret, precision_mode):
 
     grid = (K, C)
     state_spec = pl.BlockSpec((1, 3, L), lambda k, c: (k, 0, 0))
+    scratch = [pltpu.VMEM((f2, L), jnp.float32)]  # h2 cache
+    if n_shards > 1:
+        scratch += _xchg_scratch(n_shards, f2)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C, B, npad, N, cb, precision_mode),
+        functools.partial(_fwd_kernel, C, B, npad, N, cb, precision_mode,
+                          axis_name, n_shards),
         grid=grid,
         in_specs=[
             state_spec,                      # p (resident per k row)
@@ -669,9 +768,7 @@ def _fwd_call(packed, ab, p, interpret, precision_mode):
             jax.ShapeDtypeStruct((K, C, 3, L), jnp.float32),
             jax.ShapeDtypeStruct((K, C, _STAT_ROWS, f2), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((f2, L), jnp.float32),  # h2 cache
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
@@ -692,10 +789,12 @@ def _fwd_call(packed, ab, p, interpret, precision_mode):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "precision_mode")
+    jax.jit,
+    static_argnames=("interpret", "precision_mode", "axis_name",
+                     "n_shards"),
 )
 def _bwd_call(packed, ab, xsave, stats, dp0, dlv, interpret,
-              precision_mode):
+              precision_mode, axis_name=None, n_shards=1):
     K, C = stats.shape[:2]
     f2 = stats.shape[3]
     B = ab.shape[2]
@@ -709,8 +808,16 @@ def _bwd_call(packed, ab, xsave, stats, dp0, dlv, interpret,
     cb = _chunk_clouds(B, npad, 4096)
 
     state_spec = pl.BlockSpec((1, 3, L), lambda k, c: (k, 0, 0))
+    scratch = [
+        pltpu.VMEM((f2, L), jnp.bfloat16),  # n1 cache (see pA note)
+        pltpu.VMEM((f2, L), jnp.float32),   # dn1 cache
+        pltpu.VMEM((3, L), jnp.float32),    # scale cache
+    ]
+    if n_shards > 1:
+        scratch += _xchg_scratch(n_shards, f2)
     out = pl.pallas_call(
-        _make_bwd_kernel(C, B, npad, N, cb, precision_mode),
+        _make_bwd_kernel(C, B, npad, N, cb, precision_mode, axis_name,
+                         n_shards),
         grid=(K, C),
         in_specs=[
             pl.BlockSpec((1, 1, 3, L), lambda k, c: (k, c, 0, 0)),  # xsave
@@ -749,11 +856,7 @@ def _bwd_call(packed, ab, xsave, stats, dp0, dlv, interpret,
             jax.ShapeDtypeStruct((K, C, 1, 3), jnp.float32),
             jax.ShapeDtypeStruct(ab.shape, jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((f2, L), jnp.bfloat16),  # n1 cache (see pA note)
-            pltpu.VMEM((f2, L), jnp.float32),   # dn1 cache
-            pltpu.VMEM((3, L), jnp.float32),    # scale cache
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BWD
         ),
@@ -875,3 +978,85 @@ def _fused_bwd(interpret, precision_mode, res, cts):
 
 
 fused_train_decode.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------- #
+# SPMD (multi-device) wrapper                                           #
+# --------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_train_decode_spmd(axis_name: str, n_shards: int,
+                                 interpret, precision_mode: str):
+    """Fused training decode under a >1-device `data` mesh.
+
+    Semantics are IDENTICAL to the XLA SPMD path (and to the
+    single-device fused kernel on the same global batch): BatchNorm
+    batch statistics are computed over the GLOBAL batch (SyncBN,
+    parallel/mesh.py) via the kernels' in-kernel remote-DMA stat
+    exchange (`_global_stat_sums`), in both the forward and the
+    BN-backward batch-statistic terms. Everything else stays
+    shard-local; weight gradients are per-shard partial sums psummed
+    inside the shard_map body.
+
+    Returns a custom-vjp function `f(packed, ab, p) -> (p0, lv, stats)`
+    operating on GLOBAL arrays (call it inside jit under the mesh):
+    packed leaves replicated, ab (K, C, B, 2, f2) and p (K, B, 3, N)
+    batch-sharded over `axis_name`. B must divide by n_shards. The
+    `stats` output is identical on every shard (the exchange makes it
+    global) and is returned replicated.
+
+    `interpret`: False on TPU; pass a `pltpu.InterpretParams()` instance
+    to emulate the remote DMAs on CPU (plain `interpret=True` cannot —
+    tests use the TPU interpret mode's shared-memory simulator).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    fwd_in = (rep, P(None, None, axis_name), P(None, axis_name))
+    fwd_out = (P(None, axis_name), P(None, axis_name),
+               P(None, None, None, axis_name), rep)
+
+    def fwd_body(packed, ab, p):
+        return _fwd_call(packed, ab, p, interpret, precision_mode,
+                         axis_name, n_shards)
+
+    shard_fwd = jax.shard_map(
+        fwd_body, in_specs=fwd_in, out_specs=fwd_out, check_vma=False,
+    )
+
+    bwd_in = (rep, P(None, None, axis_name),
+              P(None, None, None, axis_name), rep,
+              P(None, axis_name), P(None, axis_name))
+    bwd_out = (P(None, axis_name), rep, P(None, None, axis_name))
+
+    def bwd_body(packed, ab, xsave, stats, dp0, dlv):
+        dp, d_packed, dab = _bwd_call(
+            packed, ab, xsave, stats, dp0, dlv, interpret,
+            precision_mode, axis_name, n_shards,
+        )
+        # weight cotangents are partial sums over the local shard
+        d_packed = jax.lax.psum(d_packed, axis_name)
+        return dp, d_packed, dab
+
+    shard_bwd = jax.shard_map(
+        bwd_body, in_specs=bwd_in, out_specs=bwd_out, check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def f(packed, ab, p):
+        p0, lv, _, stats = shard_fwd(packed, ab, p)
+        return p0, lv, stats
+
+    def f_fwd(packed, ab, p):
+        p0, lv, xsave, stats = shard_fwd(packed, ab, p)
+        return (p0, lv, stats), (packed, ab, xsave, stats)
+
+    def f_bwd(res, cts):
+        packed, ab, xsave, stats = res
+        dp0, dlv, _dstats = cts
+        dp, d_packed, dab = shard_bwd(packed, ab, xsave, stats, dp0, dlv)
+        return d_packed, dab, dp
+
+    f.defvjp(f_fwd, f_bwd)
+    return f

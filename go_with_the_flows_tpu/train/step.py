@@ -20,18 +20,40 @@ from ..losses import flow_mixture_loss
 from .state import TrainState
 
 
+def _mesh_data_shards():
+    """(data-axis size, product of all OTHER axis sizes) of the abstract
+    mesh active at trace time (1, 1 when no mesh is set)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty:
+        return 1, 1
+    sizes = dict(zip(mesh.axis_names, mesh.axis_sizes))
+    data = sizes.get("data", 1)
+    others = 1
+    for name, size in sizes.items():
+        if name != "data":
+            others *= size
+    return data, others
+
+
 def _use_fused_decoder(fused_decoder) -> bool:
     """Resolve the fused-training-decoder gate at trace time.
 
     None = auto: only on TPU (the kernel interprets elsewhere, which is
-    far slower than XLA), only WITHOUT a >1-device mesh — under SPMD
-    the XLA path's BatchNorm computes GLOBAL batch statistics (the
-    SyncBN semantics, parallel/mesh.py), which the per-shard kernel
-    would not reproduce — and only at 'high'/'fast' matmul precision:
-    measured on v5e (B=64 flagship, tools/train_fused_bench.py), the
-    fused step wins 136 -> 118 ms at 'high' and 127 -> 53 ms at 'fast'
-    (XLA is HBM-bound there), but at 'highest' both paths are bound by
-    the 6-pass f32 MXU emulation and XLA's overlap wins (158 vs ~190)."""
+    far slower than XLA), only WITHOUT a >1-device mesh, and only at
+    'high'/'fast' matmul precision: measured on v5e (B=64 flagship,
+    tools/train_fused_bench.py), the fused step wins 136 -> 118 ms at
+    'high' and 127 -> 53 ms at 'fast' (XLA is HBM-bound there), but at
+    'highest' both paths are bound by the 6-pass f32 MXU emulation and
+    XLA's overlap wins (158 vs ~190).
+
+    Under a >1-device 'data' mesh the fused path EXISTS — the kernels
+    exchange BatchNorm batch statistics across shards with in-kernel
+    remote DMAs, reproducing the XLA path's global-batch SyncBN
+    semantics exactly (ops/pallas/train_kernel.py
+    make_fused_train_decode_spmd, validated on a virtual multi-device
+    mesh in tests/test_train_kernel_spmd.py) — but stays OPT-IN
+    (fused_decoder=True): its perf has no real multi-chip evidence in
+    this environment, so auto keeps the known-good XLA SPMD path."""
     if fused_decoder is None:
         if jax.default_backend() != "tpu":
             return False
@@ -39,8 +61,8 @@ def _use_fused_decoder(fused_decoder) -> bool:
 
         if _kernel_precision_mode() not in ("high", "fast"):
             return False
-        mesh = jax.sharding.get_abstract_mesh()
-        return mesh.empty or mesh.size == 1
+        data, others = _mesh_data_shards()
+        return data == 1 and others == 1
     return bool(fused_decoder)
 
 
@@ -71,11 +93,31 @@ def _fused_training_decode(model, params, g_sample, p_clouds):
     )
     K = model.n_components
     p_stack = jnp.broadcast_to(p_clouds[None], (K,) + p_clouds.shape)
-    p0, lv, stats = fused_train_decode(
-        packed, ab, p_stack,
-        jax.default_backend() != "tpu",  # interpret (tests)
-        _kernel_precision_mode(),
-    )
+    interpret = jax.default_backend() != "tpu"  # tests
+    n_data, n_other = _mesh_data_shards()
+    if n_data > 1:
+        if n_other > 1:
+            raise NotImplementedError(
+                "the fused training decoder shards the batch ('data') "
+                "axis only; run with a points-axis size of 1 or "
+                "fused_decoder=False"
+            )
+        from ..ops.pallas.train_kernel import make_fused_train_decode_spmd
+
+        if interpret:
+            # plain interpret=True cannot emulate the in-kernel remote
+            # DMAs; the TPU interpret mode's shared-memory simulator can
+            from jax.experimental.pallas import tpu as pltpu
+
+            interpret = pltpu.InterpretParams()
+        decode = make_fused_train_decode_spmd(
+            "data", n_data, interpret, _kernel_precision_mode()
+        )
+        p0, lv, stats = decode(packed, ab, p_stack)
+    else:
+        p0, lv, stats = fused_train_decode(
+            packed, ab, p_stack, interpret, _kernel_precision_mode()
+        )
 
     def stats_update(old_decoder_stats):
         return decoder_stats_update(
