@@ -203,12 +203,27 @@ def _kernel_precision_mode() -> str:
     return mode
 
 
+def _concat_saves_chunks(k: int) -> bool:
+    """The MXU consumes the contraction axis in 128-deep passes, so a
+    dot costs ceil(K/128) passes per output tile. The three 'high'
+    hi/lo-split terms can be fused into ONE dot with a 3K contraction
+    ([a_hi | a_hi | a_lo] @ [b_hi ; b_lo ; b_hi]) — same three partial
+    products, accumulated inside the MXU instead of by two f32 adds.
+    Worth it exactly when it drops whole 128-chunks: k=3 -> 1 pass
+    instead of 3, k=74 (f2 at flagship) -> 2 instead of 3; k >= 128
+    multiples save nothing and pay the operand concat."""
+    return -(-3 * k // 128) < 3 * -(-k // 128)
+
+
 def _mxdot(a, b, mode: str):
     """Mode-aware matmul. Mosaic lowers only DEFAULT and HIGHEST dot
     precisions, so 'high' (3 bf16 passes, ~f32 accuracy — the drift
     audit measured tpu-high tensor drift equal to tpu-highest) is
     emulated with an explicit bf16 hi/lo split:
     a*b ~ hi(a)hi(b) + hi(a)lo(b) + lo(a)hi(b).
+    For the small contraction dims of this model the three terms fuse
+    into one tripled-contraction dot (see _concat_saves_chunks), cutting
+    the MXU passes ~12 -> 7 per coupling at flagship f2=74.
 
     'fast' casts both operands to bf16 explicitly — numerically what
     DEFAULT precision does inside the MXU anyway, but the explicit cast
@@ -224,6 +239,11 @@ def _mxdot(a, b, mode: str):
         def d(x, y):
             return jnp.dot(x, y, preferred_element_type=jnp.float32)
 
+        if _concat_saves_chunks(a.shape[1]):
+            return d(
+                jnp.concatenate([a_hi, a_hi, a_lo], axis=1),
+                jnp.concatenate([b_hi, b_lo, b_hi], axis=0),
+            )
         return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
     if mode == "fast":
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),

@@ -111,6 +111,21 @@ def test_forward_and_stats_parity(scan):
                     atol=1e-6)
 
 
+@pytest.mark.parametrize("mode,atol", [("high", 2e-3), ("fast", 5e-2)])
+def test_forward_reduced_precision(mode, atol):
+    """'high' (tripled-contraction bf16-split dots) and 'fast' (bf16)
+    forwards of the TRAINING kernel stay within split-precision
+    tolerance of the f32 path."""
+    n_flows = 2
+    dec, p, g, variables = _setup(n_flows, False)
+    with matmul_precision_scope("highest"):
+        p0_x, lv_x, _ = _xla(dec, variables, p, g)
+    p0_k, lv_k, _, _ = _fused(variables["params"], p, g, n_flows, False,
+                              mode=mode)
+    np.testing.assert_allclose(p0_k, p0_x, atol=atol)
+    np.testing.assert_allclose(lv_k, lv_x, atol=atol)
+
+
 def test_gradient_parity():
     n_flows = 2
     dec, p, g, variables = _setup(n_flows, False)
