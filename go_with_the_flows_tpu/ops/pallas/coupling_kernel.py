@@ -144,7 +144,7 @@ def pack_point_decoder(
     warps = coupling_warps(n_flows)
 
     acc = {k: [] for k in (
-        "w0", "b0", "w1", "a1", "b1", "w2lv", "b2lv", "w2mu", "b2mu",
+        "w0", "b0", "w1", "a1", "b1", "w2", "b2",
         "film_k0", "film_a0", "film_b0", "film_k1", "film_b1",
     )}
     for c, warp in enumerate(warps):
@@ -164,11 +164,16 @@ def pack_point_decoder(
         acc["w1"].append(w1)
         acc["a1"].append(jnp.concatenate([a1l, a1m])[None, :])  # (1, 2f)
         acc["b1"].append(jnp.concatenate([b1l, b1m])[None, :])
+        # both heads in ONE stacked (6, 2f) block-diagonal map: rows 0-2
+        # produce y_lv, rows 3-5 y_mu — one dot halves the W2 MXU passes
+        # vs two (3, 2f) head dots (passes scale with contraction chunks
+        # PER DOT, and both heads fit one 128-wide output tile)
         zf = jnp.zeros((3, f), w2l.dtype)
-        acc["w2lv"].append(jnp.concatenate([w2l, zf], axis=1))  # (3, 2f)
-        acc["w2mu"].append(jnp.concatenate([zf, w2m], axis=1))
-        acc["b2lv"].append(b2l[:, None])  # (3, 1)
-        acc["b2mu"].append(b2m[:, None])
+        acc["w2"].append(jnp.concatenate([
+            jnp.concatenate([w2l, zf], axis=1),   # y_lv rows
+            jnp.concatenate([zf, w2m], axis=1),   # y_mu rows
+        ], axis=0))  # (6, 2f)
+        acc["b2"].append(jnp.concatenate([b2l, b2m])[:, None])  # (6, 1)
         # FiLM nets in head-stacked order: (lv_w, lv_b, mu_w, mu_b)
         film = [
             _fold_film(cp[h][n], cs[h][n])
@@ -215,6 +220,48 @@ def _concat_saves_chunks(k: int) -> bool:
     return -(-3 * k // 128) < 3 * -(-k // 128)
 
 
+def _concat6_saves_chunks(k: int) -> bool:
+    """Same chunk arithmetic for the SIX 'highest' split terms: fuse
+    when ceil(6K/128) beats the 6 passes of the Mosaic HIGHEST lowering.
+    k=3 -> 1 instead of 6, k=74 -> 4 instead of 6; k a 128-multiple (the
+    lane-contracting gradient dots) saves nothing -> native lowering."""
+    return -(-6 * k // 128) < 6 * -(-k // 128)
+
+
+def _split3(x):
+    """Exact 3-term bf16 decomposition x = x0 + x1 + x2 (each rounding
+    of the f32 residual): together the parts carry >= 24 mantissa bits,
+    so the 6 cross products below reconstruct the f32 product to
+    roundoff — the same decomposition the Mosaic HIGHEST lowering
+    computes per dot; here it is done ONCE per operand."""
+    x0 = x.astype(jnp.bfloat16)
+    r = x - x0.astype(jnp.float32)
+    x1 = r.astype(jnp.bfloat16)
+    x2 = (r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1, x2
+
+
+def _dot6(a, b, dn=None):
+    """'highest' as an explicit split-once schedule: the six significant
+    split products (a0b0, a0b1, a1b0, a0b2, a2b0, a1b1 — the dropped
+    a1b2/a2b1/a2b2 terms are O(2^-48) relative) concatenated into ONE
+    6K-contraction dot, accumulated in f32 inside the MXU. Agrees with
+    the native HIGHEST lowering to f32 roundoff (test_precision_modes)
+    while costing ceil(6K/128) MXU chunk sweeps instead of 6 passes:
+    4 instead of 6 at the flagship f2=74, 1 instead of 6 at K=3/6."""
+    a0, a1, a2 = _split3(a)
+    b0, b1, b2 = _split3(b)
+    if dn is None:
+        A = jnp.concatenate([a0, a0, a1, a0, a2, a1], axis=1)
+        Bm = jnp.concatenate([b0, b1, b0, b2, b0, b1], axis=0)
+        return jnp.dot(A, Bm, preferred_element_type=jnp.float32)
+    A = jnp.concatenate([a0, a0, a1, a0, a2, a1], axis=1)
+    Bm = jnp.concatenate([b0, b1, b0, b2, b0, b1], axis=1)
+    return jax.lax.dot_general(
+        A, Bm, dn, preferred_element_type=jnp.float32
+    )
+
+
 def _mxdot(a, b, mode: str):
     """Mode-aware matmul. Mosaic lowers only DEFAULT and HIGHEST dot
     precisions, so 'high' (3 bf16 passes, ~f32 accuracy — the drift
@@ -248,6 +295,12 @@ def _mxdot(a, b, mode: str):
     if mode == "fast":
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
+    # 'highest': split-once 6-term schedule when it drops MXU chunks
+    # (ROADMAP item: the Mosaic HIGHEST lowering re-splits per dot and
+    # always sweeps 6 passes); identical partial products, f32-roundoff
+    # agreement, fewer sweeps at this model's small contraction dims
+    if _concat6_saves_chunks(a.shape[1]):
+        return _dot6(a, b)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
@@ -282,8 +335,8 @@ def film_alpha_beta(packed: Dict, g: jax.Array) -> jax.Array:
 
 
 def _decode_kernel(n_couplings, tb, n_pad, prec, inverse, x_ref,
-                   w0_ref, b0_ref, w1_ref, w2lv_ref, b2lv_ref,
-                   w2mu_ref, b2mu_ref, ab_ref, out_ref, lv_ref):
+                   w0_ref, b0_ref, w1_ref, w2_ref, b2_ref,
+                   ab_ref, out_ref, lv_ref):
     x = x_ref[0, 0]  # (3, tb * N)
     # bf16 activation STORAGE in fast mode: the MXU truncates DEFAULT-
     # precision inputs to bf16 anyway, so storing h bf16 between dots
@@ -310,10 +363,12 @@ def _decode_kernel(n_couplings, tb, n_pad, prec, inverse, x_ref,
                 alpha * h[:, t * n_pad:(t + 1) * n_pad] + beta, 0.0
             ).astype(store))
         h = segs[0] if tb == 1 else jnp.concatenate(segs, axis=1)
-        y_lv = _mxdot(w2lv_ref[0, pl.ds(c, 1)][0], h, prec)
-        y_lv = y_lv + b2lv_ref[0, pl.ds(c, 1)][0]
-        y_mu = _mxdot(w2mu_ref[0, pl.ds(c, 1)][0], h, prec)
-        y_mu = y_mu + b2mu_ref[0, pl.ds(c, 1)][0]
+        # one stacked head dot: rows 0-2 = y_lv, rows 3-5 = y_mu (same
+        # per-row arithmetic as two separate dots, half the MXU sweeps)
+        y = _mxdot(w2_ref[0, pl.ds(c, 1)][0], h, prec)
+        y = y + b2_ref[0, pl.ds(c, 1)][0]
+        y_lv = y[0:3, :]
+        y_mu = y[3:6, :]
         logvar = jax.nn.soft_sign(y_lv)      # (3, tb*N); 0 on kept chans
         scale = jnp.sqrt(_EPS + jnp.exp(logvar))
         # the conditioner reads only KEPT channels, which the affine
@@ -408,10 +463,8 @@ def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode,
             wspec(packed["w0"]),
             wspec(packed["b0"]),
             wspec(packed["w1"]),
-            wspec(packed["w2lv"]),
-            wspec(packed["b2lv"]),
-            wspec(packed["w2mu"]),
-            wspec(packed["b2mu"]),
+            wspec(packed["w2"]),
+            wspec(packed["b2"]),
             pl.BlockSpec((1, 1, tb, C, 2, f2),
                          lambda k, b: (k, b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -435,7 +488,7 @@ def _fused_point_decode_impl(packed, ab, p, interpret, precision_mode,
     )(
         x,
         packed["w0"], packed["b0"], packed["w1"],
-        packed["w2lv"], packed["b2lv"], packed["w2mu"], packed["b2mu"],
+        packed["w2"], packed["b2"],
         # (K, B//tb, tb, C, 2, f2)
         ab.reshape(K, B // tb, tb, C, 2, f2),
     )

@@ -97,9 +97,8 @@ def pack_point_decoder_train(params: Dict, n_flows: int,
     warps = coupling_warps(n_flows)
 
     acc = {k: [] for k in (
-        "w0", "bn0_scale", "bn0_bias", "w1", "w2lv", "b2lv", "w2mu",
-        "b2mu", "film_k0", "film_scale", "film_bias", "film_k1",
-        "film_b1",
+        "w0", "bn0_scale", "bn0_bias", "w1", "w2", "b2",
+        "film_k0", "film_scale", "film_bias", "film_k1", "film_b1",
     )}
     for c, warp in enumerate(warps):
         i, j = divmod(c, 3)
@@ -128,11 +127,15 @@ def pack_point_decoder_train(params: Dict, n_flows: int,
         w1 = jnp.zeros((2 * f, 2 * f), w1l.dtype)
         w1 = w1.at[:f, :f].set(w1l).at[f:, f:].set(w1m)
         acc["w1"].append(w1)
+        # both heads in ONE stacked (6, 2f) map (rows 0-2 y_lv, 3-5
+        # y_mu): halves the W2 MXU sweeps in the forward AND the dW2 /
+        # dfz dots in the backward (coupling_kernel.py rationale)
         zf = jnp.zeros((3, f), w2l.dtype)
-        acc["w2lv"].append(jnp.concatenate([w2l, zf], axis=1))  # (3, 2f)
-        acc["w2mu"].append(jnp.concatenate([zf, w2m], axis=1))
-        acc["b2lv"].append(b2l)                                 # (3, 1)
-        acc["b2mu"].append(b2m)
+        acc["w2"].append(jnp.concatenate([
+            jnp.concatenate([w2l, zf], axis=1),
+            jnp.concatenate([zf, w2m], axis=1),
+        ], axis=0))                                             # (6, 2f)
+        acc["b2"].append(jnp.concatenate([b2l, b2m], axis=0))   # (6, 1)
         # FiLM nets in head-stacked order (lv_w, lv_b, mu_w, mu_b),
         # RAW (train-mode film BN stats are computed in film_wb_train)
         film = [
@@ -315,7 +318,7 @@ def _film_apply(n1, fw, fb, npad, cb):
 
 def _fwd_kernel(C, B, npad, n_real, cb, prec, axis_name, n_shards,
                 p_ref, w0_ref, s0_ref, bb0_ref, w1_ref,
-                w2lv_ref, b2lv_ref, w2mu_ref, b2mu_ref, ab_ref,
+                w2_ref, b2_ref, ab_ref,
                 p0_ref, lv_ref, xsave_ref, stats_ref, h2_scr,
                 *xchg_refs):
     c = pl.program_id(1)
@@ -338,10 +341,8 @@ def _fwd_kernel(C, B, npad, n_real, cb, prec, axis_name, n_shards,
     scale0 = s0_ref[0, 0].T  # (f2, 1)
     bias0 = bb0_ref[0, 0].T
     w1 = w1_ref[0, 0]        # (f2, f2)
-    w2lv = w2lv_ref[0, 0]    # (3, f2)
-    w2mu = w2mu_ref[0, 0]
-    b2lv = b2lv_ref[0, 0]    # (3, 1)
-    b2mu = b2mu_ref[0, 0]
+    w2 = w2_ref[0, 0]        # (6, f2): rows 0-2 y_lv, rows 3-5 y_mu
+    b2 = b2_ref[0, 0]        # (6, 1)
     f2 = w1.shape[0]
 
     def h0_of(chunk):
@@ -395,8 +396,9 @@ def _fwd_kernel(C, B, npad, n_real, cb, prec, axis_name, n_shards,
         n1 = (h2 - mean1) * inv1
         fw, fb = _film_rows(ab_ref, chunk, cb)
         fz = jnp.maximum(_film_apply(n1, fw, fb, npad, cb), 0.0)
-        ylv = _mxdot(w2lv, fz, prec) + b2lv
-        ymu = _mxdot(w2mu, fz, prec) + b2mu
+        y = _mxdot(w2, fz, prec) + b2
+        ylv = y[0:3, :]
+        ymu = y[3:6, :]
         logvar = jax.nn.soft_sign(ylv)
         scale = jnp.sqrt(_EPS + jnp.exp(logvar))
         xb = p0_ref[0, :, sl]
@@ -444,6 +446,14 @@ def _mxdg(a, b, prec):
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
             preferred_element_type=jnp.float32,
         )
+    # 'highest': the split-once 6-term schedule only helps when it drops
+    # whole 128-chunks — never for this lane-axis contraction in
+    # practice (the lane count is a 128-multiple), so this usually
+    # falls through to the native HIGHEST lowering
+    from .coupling_kernel import _concat6_saves_chunks, _dot6
+
+    if _concat6_saves_chunks(a.shape[1]):
+        return _dot6(a, b, dn)
     return jax.lax.dot_general(
         a, b, dn, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -459,13 +469,14 @@ def _film_broadcast(fw, npad, cb):
     return segs[0] if cb == 1 else jnp.concatenate(segs, axis=1)
 
 
-def _head_chain(n1, fw, fb, npad, cb, w2lv, w2mu, b2lv, b2mu, prec):
+def _head_chain(n1, fw, fb, npad, cb, w2, b2, prec):
     """n1 -> (fw_lanes, z, fz, ylv, ymu, logvar, scale) for a chunk."""
     z = _film_apply(n1, fw, fb, npad, cb)
     fw_lanes = _film_broadcast(fw, npad, cb)
     fz = jnp.maximum(z, 0.0)
-    ylv = _mxdot(w2lv, fz, prec) + b2lv
-    ymu = _mxdot(w2mu, fz, prec) + b2mu
+    y = _mxdot(w2, fz, prec) + b2      # (6, L): stacked lv | mu heads
+    ylv = y[0:3, :]
+    ymu = y[3:6, :]
     logvar = jax.nn.soft_sign(ylv)
     scale = jnp.sqrt(_EPS + jnp.exp(logvar))
     return fw_lanes, z, fz, ylv, ymu, logvar, scale
@@ -489,10 +500,10 @@ def _dchain_from_out(xb, dxout, dlvc, ymu, ylv, logvar, scale):
 def _make_bwd_kernel(C, B, npad, n_real, cb, prec, axis_name=None,
                      n_shards=1):
     def kernel(xs_ref, stats_ref, w0_ref, s0_ref, bb0_ref, w1_ref,
-               w2lv_ref, b2lv_ref, w2mu_ref, b2mu_ref, ab_ref,
+               w2_ref, b2_ref, ab_ref,
                dy_ref, dlv_ref,
-               dp_ref, dw0_ref, dbn0_ref, dw1_ref, dw2lv_ref,
-               db2lv_ref, dw2mu_ref, db2mu_ref, dab_ref,
+               dp_ref, dw0_ref, dbn0_ref, dw1_ref, dw2_ref,
+               db2_ref, dab_ref,
                n1_scr, dn1_scr, scale_scr, *xchg_refs):
         c = pl.program_id(1)
         # the BN backward's batch-statistic terms reduce over the
@@ -519,15 +530,12 @@ def _make_bwd_kernel(C, B, npad, n_real, cb, prec, axis_name=None,
         scale0 = s0_ref[0, 0].T
         bias0 = bb0_ref[0, 0].T
         w1 = w1_ref[0, 0]
-        w2lv = w2lv_ref[0, 0]
-        w2mu = w2mu_ref[0, 0]
-        b2lv = b2lv_ref[0, 0]
-        b2mu = b2mu_ref[0, 0]
+        w2 = w2_ref[0, 0]      # (6, f2)
+        b2 = b2_ref[0, 0]      # (6, 1)
         f2 = w1.shape[0]
         w0t = w0.T
         w1t = w1.T
-        w2lvt = w2lv.T
-        w2mut = w2mu.T
+        w2t = w2.T             # (f2, 6)
 
         def base(chunk):
             sl = pl.ds(chunk * lc, lc)
@@ -541,23 +549,26 @@ def _make_bwd_kernel(C, B, npad, n_real, cb, prec, axis_name=None,
             """Recompute dn1 (cheap dots only) for a lane chunk."""
             fw, fb = _film_rows(ab_ref, chunk, cb)
             fw_lanes, z, fz, ylv, ymu, logvar, scale = _head_chain(
-                n1, fw, fb, npad, cb, w2lv, w2mu, b2lv, b2mu, prec
+                n1, fw, fb, npad, cb, w2, b2, prec
             )
             dxout = dp_ref[0, :, sl]
             dlvc = dlv_ref[0, :, sl]
             dymu, dylv = _dchain_from_out(
                 xb, dxout, dlvc, ymu, ylv, logvar, scale
             )
-            dfz = _mxdot(w2lvt, dylv, prec) + _mxdot(w2mut, dymu, prec)
+            # stacked head cotangent (6, L): one W2^T dot and (in pass A)
+            # one dW2 lane sweep instead of two each
+            dy6 = jnp.concatenate([dylv, dymu], axis=0)
+            dfz = _mxdot(w2t, dy6, prec)
             dz = jnp.where(z > 0.0, dfz, 0.0)
             dn1 = dz * fw_lanes
-            return dn1, dz, dylv, dymu, fz, scale
+            return dn1, dz, dy6, fz, scale
 
         # ---- pass A: the ONLY full forward+chain evaluation; caches
         # n1 / dn1 / scale so the expensive VPU chain (softsign, exp,
         # sqrt, the W2 head dots) runs once, not once per pass ----
         def pA(chunk, carry):
-            s_dn1, s_dn1n1, dW2lv, dB2lv, dW2mu, dB2mu = carry
+            s_dn1, s_dn1n1, dW2, dB2 = carry
             sl, xb, n0, a = base(chunk)
             h2 = _mxdot(w1, a, prec)
             n1 = (h2 - mean1) * inv1
@@ -568,11 +579,11 @@ def _make_bwd_kernel(C, B, npad, n_real, cb, prec, axis_name=None,
             # small term where 2^-8 relative error is negligible; the
             # fresh f32 n1 is used for everything in this pass.
             n1_scr[:, sl] = n1.astype(jnp.bfloat16)
-            dn1, dz, dylv, dymu, fz, scale = dn1_of(chunk, sl, xb, n1)
+            dn1, dz, dy6, fz, scale = dn1_of(chunk, sl, xb, n1)
             dn1_scr[:, sl] = dn1
             scale_scr[:, sl] = scale
-            # per-cloud FiLM cotangents (dz/dylv/dymu vanish on pad
-            # lanes because the output cotangents are zero there)
+            # per-cloud FiLM cotangents (dz/dy6 vanish on pad lanes
+            # because the output cotangents are zero there)
             dzn1 = dz * n1
             for j in range(cb):
                 seg = slice(j * npad, (j + 1) * npad)
@@ -583,17 +594,15 @@ def _make_bwd_kernel(C, B, npad, n_real, cb, prec, axis_name=None,
                 dab_ref[0, 0, pl.ds(b, 1), 1, :] = dfb.T
             s_dn1 = s_dn1 + jnp.sum(dn1, axis=1, keepdims=True)
             s_dn1n1 = s_dn1n1 + jnp.sum(dn1 * n1, axis=1, keepdims=True)
-            dW2lv = dW2lv + _mxdg(dylv, fz, prec)   # (3, f2)
-            dB2lv = dB2lv + jnp.sum(dylv, axis=1, keepdims=True)
-            dW2mu = dW2mu + _mxdg(dymu, fz, prec)
-            dB2mu = dB2mu + jnp.sum(dymu, axis=1, keepdims=True)
-            return s_dn1, s_dn1n1, dW2lv, dB2lv, dW2mu, dB2mu
+            dW2 = dW2 + _mxdg(dy6, fz, prec)   # (6, f2), one lane sweep
+            dB2 = dB2 + jnp.sum(dy6, axis=1, keepdims=True)
+            return s_dn1, s_dn1n1, dW2, dB2
 
         zf = jnp.zeros((f2, 1), jnp.float32)
-        z3 = jnp.zeros((3, 1), jnp.float32)
-        z3f = jnp.zeros((3, f2), jnp.float32)
-        s_dn1, s_dn1n1, dW2lv, dB2lv, dW2mu, dB2mu = jax.lax.fori_loop(
-            0, nb, pA, (zf, zf, z3f, z3, z3f, z3)
+        z6 = jnp.zeros((6, 1), jnp.float32)
+        z6f = jnp.zeros((6, f2), jnp.float32)
+        s_dn1, s_dn1n1, dW2, dB2 = jax.lax.fori_loop(
+            0, nb, pA, (zf, zf, z6f, z6)
         )
         if n_shards > 1:
             s_dn1, s_dn1n1 = _global_stat_sums(
@@ -601,10 +610,8 @@ def _make_bwd_kernel(C, B, npad, n_real, cb, prec, axis_name=None,
             )
         mdn1 = s_dn1 / denom
         mdn1n1 = s_dn1n1 / denom
-        dw2lv_ref[0, 0] = dW2lv
-        db2lv_ref[0, 0] = dB2lv.T
-        dw2mu_ref[0, 0] = dW2mu
-        db2mu_ref[0, 0] = dB2mu.T
+        dw2_ref[0, 0] = dW2
+        db2_ref[0, 0] = dB2
 
         # ---- pass B: BN1 backward; dW1; BN0 sums (all from caches) ----
         def pB(chunk, carry):
@@ -748,10 +755,8 @@ def _fwd_call(packed, ab, p, interpret, precision_mode, axis_name=None,
             _wspec(packed["bn0_scale"], C),
             _wspec(packed["bn0_bias"], C),
             _wspec(packed["w1"], C),
-            _wspec(packed["w2lv"], C),
-            _wspec(packed["b2lv"], C),
-            _wspec(packed["w2mu"], C),
-            _wspec(packed["b2mu"], C),
+            _wspec(packed["w2"], C),
+            _wspec(packed["b2"], C),
             _wspec(ab, C),                   # (K, C, B, 2, f2)
         ],
         out_specs=[
@@ -776,8 +781,7 @@ def _fwd_call(packed, ab, p, interpret, precision_mode, axis_name=None,
     )(
         x,
         packed["w0"], packed["bn0_scale"], packed["bn0_bias"],
-        packed["w1"], packed["w2lv"], packed["b2lv"],
-        packed["w2mu"], packed["b2mu"], ab,
+        packed["w1"], packed["w2"], packed["b2"], ab,
     )
     p0, lv, xsave, stats = out
     return (
@@ -826,10 +830,8 @@ def _bwd_call(packed, ab, xsave, stats, dp0, dlv, interpret,
             _wspec_fwdorder(packed["bn0_scale"]),
             _wspec_fwdorder(packed["bn0_bias"]),
             _wspec_fwdorder(packed["w1"]),
-            _wspec_fwdorder(packed["w2lv"]),
-            _wspec_fwdorder(packed["b2lv"]),
-            _wspec_fwdorder(packed["w2mu"]),
-            _wspec_fwdorder(packed["b2mu"]),
+            _wspec_fwdorder(packed["w2"]),
+            _wspec_fwdorder(packed["b2"]),
             _wspec_fwdorder(ab),
             state_spec,  # dY (p0 cotangent)
             state_spec,  # dLV (logvar-sum cotangent)
@@ -839,10 +841,8 @@ def _bwd_call(packed, ab, xsave, stats, dp0, dlv, interpret,
             _ospec((f2, 3)),
             _ospec((2, f2)),
             _ospec((f2, f2)),
-            _ospec((3, f2)),
-            _ospec((1, 3)),
-            _ospec((3, f2)),
-            _ospec((1, 3)),
+            _ospec((6, f2)),
+            _ospec((6, 1)),
             _ospec(ab.shape[2:]),
         ],
         out_shape=[
@@ -850,10 +850,8 @@ def _bwd_call(packed, ab, xsave, stats, dp0, dlv, interpret,
             jax.ShapeDtypeStruct((K, C, f2, 3), jnp.float32),
             jax.ShapeDtypeStruct((K, C, 2, f2), jnp.float32),
             jax.ShapeDtypeStruct((K, C, f2, f2), jnp.float32),
-            jax.ShapeDtypeStruct((K, C, 3, f2), jnp.float32),
-            jax.ShapeDtypeStruct((K, C, 1, 3), jnp.float32),
-            jax.ShapeDtypeStruct((K, C, 3, f2), jnp.float32),
-            jax.ShapeDtypeStruct((K, C, 1, 3), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 6, f2), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 6, 1), jnp.float32),
             jax.ShapeDtypeStruct(ab.shape, jnp.float32),
         ],
         scratch_shapes=scratch,
@@ -864,20 +862,17 @@ def _bwd_call(packed, ab, xsave, stats, dp0, dlv, interpret,
     )(
         xsave, stats,
         packed["w0"], packed["bn0_scale"], packed["bn0_bias"],
-        packed["w1"], packed["w2lv"], packed["b2lv"],
-        packed["w2mu"], packed["b2mu"], ab,
+        packed["w1"], packed["w2"], packed["b2"], ab,
         dy, dlv_l,
     )
-    (dp_l, dw0, dbn0, dw1, dw2lv, db2lv, dw2mu, db2mu, dab) = out
+    (dp_l, dw0, dbn0, dw1, dw2, db2, dab) = out
     d_packed = {
         "w0": dw0,
         "bn0_scale": dbn0[:, :, 0][:, :, None, :],
         "bn0_bias": dbn0[:, :, 1][:, :, None, :],
         "w1": dw1,
-        "w2lv": dw2lv,
-        "b2lv": jnp.transpose(db2lv, (0, 1, 3, 2)),
-        "w2mu": dw2mu,
-        "b2mu": jnp.transpose(db2mu, (0, 1, 3, 2)),
+        "w2": dw2,
+        "b2": db2,
         # film params get their cotangents via d_ab -> film_wb_train
         "film_k0": jnp.zeros_like(packed["film_k0"]),
         "film_scale": jnp.zeros_like(packed["film_scale"]),

@@ -302,3 +302,39 @@ def test_mixture_fused_sampling_under_mesh():
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_dot_schedules_vs_f64_oracle():
+    """The emulated dot schedules — 'high' (3-term tripled concat) and
+    'highest' (6-term split-once, _dot6) — must sit at (or below) the
+    f32 noise floor of a native f32 dot, measured against an f64 oracle
+    at flagship-like shapes (f2=74 contraction, wide lanes)."""
+    from go_with_the_flows_tpu.ops.pallas.coupling_kernel import (
+        _concat6_saves_chunks,
+        _dot6,
+        _mxdot,
+    )
+
+    rng = np.random.RandomState(0)
+    a64 = rng.randn(74, 74)
+    b64 = rng.randn(74, 2048)
+    want = a64 @ b64
+    a = jnp.asarray(a64.astype(np.float32))
+    b = jnp.asarray(b64.astype(np.float32))
+
+    ref_f32 = np.asarray(
+        jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    )
+    floor = np.abs(ref_f32 - want).max()
+
+    got6 = np.asarray(_dot6(a, b))
+    assert np.abs(got6 - want).max() <= max(4 * floor, 1e-4)
+
+    got3 = np.asarray(_mxdot(a, b, "high"))
+    # 3-term split drops the lo*lo-class terms: ~2^-22 relative
+    assert np.abs(got3 - want).max() <= 5e-3
+
+    # chunk arithmetic: fuse exactly when whole 128-chunks drop
+    assert _concat6_saves_chunks(3) and _concat6_saves_chunks(74)
+    assert not _concat6_saves_chunks(128) and not _concat6_saves_chunks(4096)
