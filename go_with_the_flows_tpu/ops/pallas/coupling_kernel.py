@@ -241,25 +241,22 @@ def _split3(x):
     return x0, x1, x2
 
 
-def _dot6(a, b, dn=None):
+def _dot6(a, b):
     """'highest' as an explicit split-once schedule: the six significant
-    split products (a0b0, a0b1, a1b0, a0b2, a2b0, a1b1 — the dropped
-    a1b2/a2b1/a2b2 terms are O(2^-48) relative) concatenated into ONE
-    6K-contraction dot, accumulated in f32 inside the MXU. Agrees with
-    the native HIGHEST lowering to f32 roundoff (test_precision_modes)
-    while costing ceil(6K/128) MXU chunk sweeps instead of 6 passes:
+    split products (a0b0, a0b1, a1b0, a0b2, a2b0, a1b1) concatenated
+    into ONE 6K-contraction dot, accumulated in f32 inside the MXU. The
+    dropped a1b2/a2b1 terms are ~2^-24 relative (each part carries ~8
+    mantissa bits) — AT the f32 accumulation roundoff, not below it —
+    so the schedule matches the native HIGHEST lowering to a few ulps
+    (asserted vs an f64 oracle in
+    test_coupling_kernel.py::test_dot_schedules_vs_f64_oracle) while
+    costing ceil(6K/128) MXU chunk sweeps instead of 6 passes:
     4 instead of 6 at the flagship f2=74, 1 instead of 6 at K=3/6."""
     a0, a1, a2 = _split3(a)
     b0, b1, b2 = _split3(b)
-    if dn is None:
-        A = jnp.concatenate([a0, a0, a1, a0, a2, a1], axis=1)
-        Bm = jnp.concatenate([b0, b1, b0, b2, b0, b1], axis=0)
-        return jnp.dot(A, Bm, preferred_element_type=jnp.float32)
     A = jnp.concatenate([a0, a0, a1, a0, a2, a1], axis=1)
-    Bm = jnp.concatenate([b0, b1, b0, b2, b0, b1], axis=1)
-    return jax.lax.dot_general(
-        A, Bm, dn, preferred_element_type=jnp.float32
-    )
+    Bm = jnp.concatenate([b0, b1, b0, b2, b0, b1], axis=0)
+    return jnp.dot(A, Bm, preferred_element_type=jnp.float32)
 
 
 def _mxdot(a, b, mode: str):

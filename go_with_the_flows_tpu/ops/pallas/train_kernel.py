@@ -446,14 +446,10 @@ def _mxdg(a, b, prec):
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
             preferred_element_type=jnp.float32,
         )
-    # 'highest': the split-once 6-term schedule only helps when it drops
-    # whole 128-chunks — never for this lane-axis contraction in
-    # practice (the lane count is a 128-multiple), so this usually
-    # falls through to the native HIGHEST lowering
-    from .coupling_kernel import _concat6_saves_chunks, _dot6
-
-    if _concat6_saves_chunks(a.shape[1]):
-        return _dot6(a, b, dn)
+    # 'highest': the split-once 6-term schedule (coupling_kernel._dot6)
+    # only helps when it drops whole 128-chunks — never here: every
+    # _mxdg contraction is the lane axis, always a 128-multiple — so
+    # this stays on the native HIGHEST lowering
     return jax.lax.dot_general(
         a, b, dn, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
