@@ -352,6 +352,39 @@ def main(measure_only: bool = False):
     with matmul_precision_scope("fast"):
         fast_per_sec = timed(cd_variant(), ref)
 
+    # sparse (component-partitioned) sampling: each point decoded by
+    # only its own component's flow (ops/pallas/sparse_decode.py) —
+    # identically-distributed labeled clouds at ~1/K the decoder FLOPs.
+    # Guarded: a failure here must not cost the headline numbers.
+    sparse_metrics = {}
+    if on_tpu:
+        try:
+            sparse_model = FlowMixtureModel(
+                **FLAGSHIP, sparse_sampling=True
+            )
+
+            def sample_sparse(params, batch_stats, key):
+                _, samples, labels, _ = sparse_model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    g_in, mode="generating", n_sampled_points=N,
+                    rngs={"sample": key},
+                )
+                return samples, labels
+
+            @jax.jit
+            def sparse_and_eval(params, batch_stats, key, ref_clouds):
+                samples, labels = sample_sparse(params, batch_stats, key)
+                gen = jnp.transpose(samples, (0, 2, 1))
+                dl, dr = chamfer_pallas(gen, ref_clouds)
+                return samples, labels, jnp.mean(dl, 1) + jnp.mean(dr, 1)
+
+            with matmul_precision_scope("high"):
+                sparse_metrics["sparse_clouds_per_sec"] = round(
+                    timed(sparse_and_eval, ref), 2
+                )
+        except Exception as e:  # noqa: BLE001 - record, don't die
+            sparse_metrics["sparse_error"] = str(e).split("\n")[0][:160]
+
     # headline train number measures the SHIPPED training default
     # ('high' — train_ae.py; the fused Pallas training kernel engages),
     # with 'highest' (strict-parity opt-in) and 'fast' reported alongside
@@ -406,6 +439,7 @@ def main(measure_only: bool = False):
         "train_mfu": round(train_sustained / peak, 4),
         "train_highest_clouds_per_sec": round(train_highest_per_sec, 2),
         "train_fast_clouds_per_sec": round(train_fast_per_sec, 2),
+        **sparse_metrics,
         **pairwise,
         "device_kind": jax.devices()[0].device_kind,
     }))

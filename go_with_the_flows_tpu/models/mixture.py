@@ -130,6 +130,13 @@ class FlowMixtureModel(nn.Module):
     # None = auto (TPU only), True = always (interpret off-TPU, tests),
     # False = XLA. See _decode_direct_eval.
     fused_sampling: bool | None = None
+    # Sparse (component-partitioned) sampling decode: each sampled point
+    # runs through ONLY its own component's flow, generated in
+    # component-sorted order (ops/pallas/sparse_decode.py) — ~K x fewer
+    # decoder FLOPs with an identically-distributed labeled cloud.
+    # None = auto (currently off, pending real-TPU validation),
+    # True = always (interpret off-TPU, tests), False = dense.
+    sparse_sampling: bool | None = None
 
     def setup(self):
         G = self.g_latent_space_size
@@ -395,6 +402,11 @@ class FlowMixtureModel(nn.Module):
             self.make_rng("sample"), logits[:, None, :], axis=-1, shape=(B, N)
         )  # (B, N)
 
+        if self._use_sparse_sampling():
+            out = self._sparse_sample(ids, g_sample, N, logits)
+            if out is not None:
+                return out
+
         base_mus, base_logvars = self._point_base(g_sample, False)
         std = jnp.exp(0.5 * base_logvars)  # (B, 3, 1)
         eps = jax.random.normal(
@@ -410,6 +422,70 @@ class FlowMixtureModel(nn.Module):
         mask = ids[None, :, None, :] == jnp.arange(K)[:, None, None, None]
         samples = jnp.sum(jnp.where(mask, decoded, 0.0), axis=0)
         labels = ids + 1
+        return samples, labels, logits
+
+    def _packed_eval_decoder(self):
+        """Constant-folded per-component decoder weights for the eval
+        Pallas kernels (None while params are absent during init)."""
+        dec_vars = self.pc_decoder.variables
+        if not dec_vars.get("params"):
+            return None
+        from ..ops.pallas.coupling_kernel import pack_point_decoder
+
+        depth = self.pc_decoder_depth
+        scan = self.scan_couplings
+        return jax.vmap(
+            lambda pr, st: pack_point_decoder(pr, st, depth, scan)
+        )(dec_vars["params"], dec_vars["batch_stats"])
+
+    def _use_sparse_sampling(self) -> bool:
+        """Resolve the sparse-sampling gate (see `sparse_sampling`).
+        K=1 has no dead work; a >1-device mesh keeps the dense path
+        (which shard_maps the fused kernel) — the sparse kernel is
+        single-device for now."""
+        if self.n_components == 1:
+            return False
+        use = self.sparse_sampling
+        if use is None:
+            # pending real-hardware validation the auto mode stays off;
+            # opt in explicitly (bench.py / evaluate_ae.py flags)
+            return False
+        if use:
+            mesh = jax.sharding.get_abstract_mesh()
+            if not mesh.empty and mesh.size > 1:
+                return False
+        return bool(use)
+
+    def _sparse_sample(self, ids, g_sample, N: int, logits):
+        """Component-sorted labeled sampling through the sparse Pallas
+        decode (ops/pallas/sparse_decode.py): each point decoded by its
+        own component only — identically-distributed labeled clouds at
+        ~1/K the decoder FLOPs. Returns (samples, labels, logits) or
+        None during init."""
+        from ..ops.pallas.coupling_kernel import (
+            _kernel_precision_mode,
+            film_alpha_beta,
+        )
+        from ..ops.pallas.sparse_decode import (
+            sorted_labels,
+            sparse_sample_decode,
+        )
+
+        packed = self._packed_eval_decoder()
+        if packed is None:
+            return None
+        K = self.n_components
+        labels, counts = sorted_labels(ids, K)
+        ab = jax.vmap(film_alpha_beta, in_axes=(0, None))(
+            packed, g_sample
+        )
+        base_mus, base_logvars = self._point_base(g_sample, False)
+        samples = sparse_sample_decode(
+            packed, ab, self.make_rng("sample"), counts, N,
+            base_mus, base_logvars,
+            interpret=jax.default_backend() != "tpu",
+            precision_mode=_kernel_precision_mode(),
+        )
         return samples, labels, logits
 
     def _fused_eval_decode(self, p_stack, g_sample, inverse: bool):
@@ -432,9 +508,6 @@ class FlowMixtureModel(nn.Module):
             use_fused = platform == "tpu"
         if not use_fused:
             return None
-        dec_vars = self.pc_decoder.variables
-        if not dec_vars.get("params"):  # absent during model.init
-            return None
 
         # pallas_call has no GSPMD partitioning rule: under a >1-device
         # mesh (evaluate_ae.py wraps everything in jax.set_mesh) the
@@ -454,14 +527,11 @@ class FlowMixtureModel(nn.Module):
         from ..ops.pallas.coupling_kernel import (
             film_alpha_beta,
             fused_point_decode,
-            pack_point_decoder,
         )
 
-        depth = self.pc_decoder_depth
-        scan = self.scan_couplings
-        packed = jax.vmap(
-            lambda pr, st: pack_point_decoder(pr, st, depth, scan)
-        )(dec_vars["params"], dec_vars["batch_stats"])
+        packed = self._packed_eval_decoder()
+        if packed is None:  # absent during model.init
+            return None
         ab = jax.vmap(film_alpha_beta, in_axes=(0, None))(
             packed, g_sample
         )
