@@ -39,6 +39,12 @@ def define_options_parser():
     p.add_argument("--f1", action="store_true")
     p.add_argument("--N_sets", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sparse_sampling", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="Component-partitioned sampling decode (each "
+                        "point through its own component's flow only, "
+                        "~1/K decoder FLOPs, identically distributed "
+                        "labeled clouds). auto = TPU single-device.")
     return p
 
 
@@ -144,6 +150,8 @@ def main():
     model_cls = FlowMixtureSVRModel if svr else FlowMixtureModel
     kwargs = model_config_kwargs(config)
     kwargs["weights_type"] = args.weights_type
+    if args.sparse_sampling != "auto":
+        kwargs["sparse_sampling"] = args.sparse_sampling == "on"
     if svr:
         kwargs["g_prior_n_layers"] = config.get("g_prior_n_layers", 1)
     model = model_cls(**kwargs)

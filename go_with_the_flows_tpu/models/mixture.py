@@ -447,8 +447,14 @@ class FlowMixtureModel(nn.Module):
             return False
         use = self.sparse_sampling
         if use is None:
-            # pending real-hardware validation the auto mode stays off;
-            # opt in explicitly (bench.py / evaluate_ae.py flags)
+            # auto stays OFF: real-v5e A/B (tools/sparse_sampling_ab.py)
+            # measured the sparse path 2.8x SLOWER than the dense fused
+            # kernel at flagship scale (2340 vs 6560 clouds/s sample-only)
+            # — the component-sorted layout/compaction glue and the
+            # per-128-lane FiLM loop cost more than the ~3x decoder-FLOP
+            # saving. Distribution verified identical (component stats,
+            # CD vs ref within sampling spread). Opt in explicitly to
+            # re-measure (evaluate_ae.py --sparse_sampling on).
             return False
         if use:
             mesh = jax.sharding.get_abstract_mesh()

@@ -41,6 +41,16 @@ Work: sum_k ceil(span_k / SUB) * SUB lanes instead of K * N per cloud —
 Scope: DIRECT eval mode (sampling / labeled reconstruction). Training
 and validation-loss inverse decodes genuinely need all K components
 (the mixture NLL sums over them) and stay on the dense paths.
+
+Measured verdict (real v5e, tools/sparse_sampling_ab.py, B=1024
+flagship): correct (per-component stats and CD-vs-ref match the dense
+path within sampling spread) but 2.8x SLOWER than the dense fused
+kernel — 2340 vs 6560 clouds/s sample-only at 'high' — because the
+XLA-side layout/compaction (sorted counts, segment tables, final
+take_along_axis) and the per-128-lane FiLM fori_loop outweigh the ~3x
+decoder-FLOP saving at these shapes. The model's auto gate therefore
+keeps it OFF (models/mixture.py _use_sparse_sampling); it remains
+available via `sparse_sampling=True` / `--sparse_sampling on`.
 """
 
 from __future__ import annotations
@@ -196,8 +206,13 @@ def _sparse_kernel(C, K, tb, S, sub, prec,
         real_off = start + i * sub
         # clamp so the static-size window stays inside the chunk; lanes
         # before real_off (already processed by earlier subtiles) and at
-        # or past `end` are write-masked below
-        off = jnp.minimum(real_off, jnp.int32(S - sub))
+        # or past `end` are write-masked below. Every term is a multiple
+        # of the 128-lane tile (segs are cumsums of 128-padded sizes,
+        # sub and S are 128-multiples) but Mosaic cannot prove that
+        # through the SMEM load + minimum — assert it.
+        off = pl.multiple_of(
+            jnp.minimum(real_off, jnp.int32(S - sub)), _TILE
+        )
         sl = pl.ds(off, sub)
         x = out_ref[0, :, sl]                            # (3, sub)
         h = jnp.maximum(_mxdot(w0, x, prec) + b0, 0.0)
