@@ -121,6 +121,7 @@ def pairwise_EMD_CD_F1(
     f1_option: bool = False,
     verbose: bool = False,
     use_pallas: Optional[bool] = None,
+    process_shard: bool = True,
 ):
     """Full (N_sample, N_ref) metric matrices (reference
     evaluation_metrics.py:103-176, _pairwise_EMD_CD_F1_SCORE).
@@ -134,11 +135,28 @@ def pairwise_EMD_CD_F1(
     the per-pair kernels. Off-TPU (or for tiny clouds) the XLA
     per-pair-batch path is used instead.
 
+    Multi-host: sample ROWS are split contiguously across processes —
+    each host computes only its block on its local devices and the
+    blocks are allgathered, so a P-process fleet runs the protocol's
+    most expensive phase ~P x faster while every host still ends with
+    the identical full matrices (the inputs are the already-gathered
+    global buffers, see eval/evaluating.py). Matrix entries are
+    per-pair quantities, so block boundaries cannot change any value.
+    `process_shard=False` forces the old every-host-computes-everything
+    behavior (used by the parity test as the oracle).
+
     `use_pallas`: None = auto (TPU + big-enough clouds); tests force it
     with interpret-mode kernels on CPU.
     """
     n_sample = sample_pcs.shape[0]
     n_ref = ref_pcs.shape[0]
+
+    n_proc = jax.process_count()
+    if process_shard and n_proc > 1 and n_sample > 1:
+        return _pairwise_process_sharded(
+            sample_pcs, ref_pcs, batch_size, f1_threshold, cd_option,
+            one_part_of_cd, emd_option, f1_option, verbose, use_pallas,
+        )
 
     if use_pallas is None:
         use_pallas = _pallas_eligible(sample_pcs.shape[1],
@@ -184,6 +202,43 @@ def pairwise_EMD_CD_F1(
     return cd_m, emd_m, f1_m, cdl_m, cdr_m
 
 
+def _pairwise_process_sharded(sample_pcs, ref_pcs, batch_size,
+                              f1_threshold, cd_option, one_part_of_cd,
+                              emd_option, f1_option, verbose, use_pallas):
+    """Row-block decomposition of pairwise_EMD_CD_F1 over processes.
+
+    Process p computes rows [p*rows_per, (p+1)*rows_per) (last block
+    padded by repeating the final row so every process contributes an
+    equal-shaped block — required by process_allgather), then the blocks
+    are allgathered and trimmed. Every host returns identical matrices.
+    """
+    from jax.experimental import multihost_utils
+
+    sample_pcs = np.asarray(sample_pcs)
+    ref_pcs = np.asarray(ref_pcs)
+    n_sample = sample_pcs.shape[0]
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    rows_per = -(-n_sample // n_proc)  # ceil
+    lo = pid * rows_per
+    # padded local block: global row index min(lo + i, n_sample - 1)
+    idx = np.minimum(np.arange(lo, lo + rows_per), n_sample - 1)
+    local = pairwise_EMD_CD_F1(
+        sample_pcs[idx], ref_pcs, batch_size,
+        f1_threshold=f1_threshold, cd_option=cd_option,
+        one_part_of_cd=one_part_of_cd, emd_option=emd_option,
+        f1_option=f1_option, verbose=verbose, use_pallas=use_pallas,
+        process_shard=False,
+    )
+    # one gather for all five matrices: (5, rows_per, n_ref)
+    stacked = np.stack([np.asarray(m, np.float32) for m in local])
+    full = np.asarray(multihost_utils.process_allgather(stacked))
+    # (n_proc, 5, rows_per, n_ref) -> five (n_sample, n_ref) matrices
+    full = full.transpose(1, 0, 2, 3).reshape(
+        5, n_proc * rows_per, ref_pcs.shape[0])[:, :n_sample]
+    return tuple(full)
+
+
 # pairs per dispatch for the on-chip grid: bounds single-dispatch
 # runtime (~20 s at 2048-pt EMD pace) so long protocol runs stay
 # responsive; outputs are scalars so memory is never a constraint
@@ -199,10 +254,10 @@ def _grid_mesh():
     ~D x faster. pallas_call itself has no GSPMD partitioning rule, so
     this wrap is also what keeps the kernels per-device.
 
-    Multi-host runs keep the redundant-per-host protocol (every process
-    holds the full gathered buffers and computes identical numbers, see
-    eval/evaluating.py) — sharding there would need global-array
-    plumbing for host numpy inputs."""
+    Multi-host runs shard matrix ROWS per process one level up
+    (_pairwise_process_sharded), so within each process the grid runs
+    host-locally — a global-device shard_map would need global-array
+    plumbing the row split already makes unnecessary."""
     if jax.process_count() > 1:
         return None
     mesh = jax.sharding.get_abstract_mesh()
