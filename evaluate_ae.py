@@ -44,7 +44,9 @@ def define_options_parser():
                    help="Component-partitioned sampling decode (each "
                         "point through its own component's flow only, "
                         "~1/K decoder FLOPs, identically distributed "
-                        "labeled clouds). auto = TPU single-device.")
+                        "labeled clouds). auto = off (measured slower "
+                        "than the dense fused path on v5e; see "
+                        "tools/sparse_sampling_ab.py).")
     return p
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -459,6 +460,12 @@ class FlowMixtureModel(nn.Module):
         if use:
             mesh = jax.sharding.get_abstract_mesh()
             if not mesh.empty and mesh.size > 1:
+                warnings.warn(
+                    "sparse_sampling=True requested but the active mesh "
+                    "has >1 device; falling back to the dense fused "
+                    "sampling path (the sparse decode is single-device).",
+                    stacklevel=2,
+                )
                 return False
         return bool(use)
 

@@ -270,6 +270,10 @@ def _sparse_decode_call(packed, ab, eps, segs, tile_b, mus, std, tb,
     f2 = packed["w1"].shape[2]
     nc, _, S = eps.shape
     sub = min(_SUB_MAX, S)
+    # the kernel's pl.multiple_of(off, _TILE) is an UNCHECKED promise to
+    # Mosaic — back it with static guards so a future _SUB_MAX /
+    # chunk_span / mixture_layout change fails here, not silently there
+    assert sub % _TILE == 0 and S % _TILE == 0, (sub, S, _TILE)
 
     # FiLM affines flattened to one dynamic-indexable (nc, K*tb*C, 2, f2)
     # table: row (k*tb + b_local)*C + c

@@ -99,6 +99,12 @@ def per_component_stats(samples, labels, K):
         pts = np.concatenate(
             [s[b][:, lab[b] == k].T for b in range(s.shape[0])], axis=0
         )
+        # a component that drew zero points across the whole batch would
+        # make every downstream max_dev NaN — fail loudly instead
+        assert pts.shape[0] > 0, (
+            f"component {k} drew no points over the batch; "
+            "distribution check would be uninformative"
+        )
         c = pts.mean(0)
         rows.append([*c, np.linalg.norm(pts - c, axis=1).mean()])
     return np.array(rows)
