@@ -22,7 +22,8 @@ def define_options_parser():
     p.add_argument("cloud_size", type=int, help="GT cloud size.")
     p.add_argument("sampled_cloud_size", type=int, help="Sampled size.")
     p.add_argument("mode", type=str,
-                   help="autoencoding | generating | reconstruction.")
+                   help="autoencoding | generating | reconstruction | "
+                        "interpolation.")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--weights_type", type=str, default="global_weights")
     p.add_argument("--reps", type=int, default=10,
@@ -39,6 +40,12 @@ def define_options_parser():
     p.add_argument("--f1", action="store_true")
     p.add_argument("--N_sets", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--interpolation_steps", type=int, default=9,
+                   help="Latent interpolation steps between each shape "
+                        "pair (interpolation mode).")
+    p.add_argument("--interpolation_batches", type=int, default=3,
+                   help="Loader batches to interpolate "
+                        "(interpolation mode).")
     p.add_argument("--sparse_sampling", type=str, default="auto",
                    choices=("auto", "on", "off"),
                    help="Component-partitioned sampling decode (each "
@@ -170,12 +177,35 @@ def main():
     )
     print(f"Model loaded (epoch {epoch}).")
 
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    if args.mode == "interpolation":
+        # the eval mode the reference intended but shipped commented out
+        # (evaluating.py:268-382): posterior-mean codes of shuffled shape
+        # pairs, linear latent interpolation, labeled mixture decode of
+        # every interpolant, h5 dump
+        from go_with_the_flows_tpu.eval.interpolate import interpolate
+
+        out_path = os.path.join(
+            args.experiment_path, f"interpolations_{args.part}.h5"
+        )
+        c1, _, interps, labels = interpolate(
+            loader, model, state, rng,
+            n_steps=args.interpolation_steps,
+            n_batches=args.interpolation_batches,
+            out_path=out_path,
+        )
+        print(f"Interpolated {c1.shape[0]} shape pairs x "
+              f"{interps.shape[-1]} steps "
+              f"(labels 1..{int(labels.max())}).")
+        print(f"Saved interpolations to {out_path}.")
+        return
+
     mode = args.mode if args.mode != "reconstruction" or svr else "autoencoding"
     sample_step = make_sample_step(
         model, n_sampled_points=args.sampled_cloud_size,
         mode=mode, svr=svr,
     )
-    rng = jax.random.PRNGKey(args.seed + 1)
 
     from go_with_the_flows_tpu.parallel.mesh import make_mesh, replicate
 

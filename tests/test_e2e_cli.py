@@ -110,6 +110,34 @@ def test_train_and_evaluate_cli(workdir):
     assert dumps, os.listdir(exp_dir)
 
 
+def test_interpolation_cli(workdir):
+    """`interpolation` eval mode: latent interpolation between shape
+    pairs, h5 dump in the reference's intended layout (the utility the
+    reference ships commented out, evaluating.py:268-382)."""
+    exp_dir = str(workdir / "results" / "smoke_t1")
+    out = _run([
+        sys.executable, "evaluate_ae.py", exp_dir, "smoke.ckpt",
+        "test", "32", "32", "interpolation", "--batch_size", "4",
+        "--interpolation_steps", "3", "--interpolation_batches", "1",
+    ])
+    assert "Saved interpolations" in out
+    import h5py
+
+    path = os.path.join(exp_dir, "interpolations_test.h5")
+    with h5py.File(path, "r") as f:
+        assert set(f.keys()) == {
+            "clouds1", "clouds2", "interpolations", "labels"
+        }, set(f.keys())
+        b, three, n, s = f["interpolations"].shape
+        assert (three, n, s) == (3, 32, 3)
+        assert f["clouds1"].shape == (b, 3, 32)
+        assert f["clouds2"].shape == (b, 3, 32)
+        assert f["labels"].shape == (b, 32, 3)
+        labels = f["labels"][...]
+        assert labels.min() >= 1 and labels.max() <= 2
+        assert np.isfinite(f["interpolations"][...]).all()
+
+
 def test_resume_cli(workdir):
     """Staged-training resume: run 2 more epochs from the checkpoint
     (the reference's multi-stage recipe, scripts/train_airplane_gen.sh)."""
