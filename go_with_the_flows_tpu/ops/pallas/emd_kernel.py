@@ -10,14 +10,25 @@ holds an (N, M) buffer (the reference materializes the full B x N x M
 match, ~1 GB at eval shapes; the XLA fallback materializes the distance
 and kernel matrices).
 
-Per level, three tiled sweeps over M (exactly the data dependencies of
-the algorithm):
-  sweep 1: suml_i   = 1e-9 + sum_j E_ij * remainR_j     -> ratioL
-  sweep 2: sumr_j   = remainR_j * sum_i E_ij * ratioL_i -> ratioR, remainR
-  sweep 3: w_ij = E_ij * ratioL_i * ratioR_j; cost += sum w_ij * dist_ij;
+Per level, two FULL-WIDTH sweeps over M (exactly the data dependencies
+of the algorithm):
+  sweep 1:  suml_i  = 1e-9 + sum_j E_ij * remainR_j     -> ratioL
+  sweep 2+3 merged: sumr_j = remainR_j * sum_i F_ij (F = E*ratioL,
+           computed once) -> ratioR, remainR;
+           w_ij = F_ij * ratioR_j; cost += sum w_ij * dist_ij;
            remainL_i -= sum_j w_ij
-All reductions are broadcast/VPU ops (no matvecs: with a 3-wide
-contraction the MXU would idle, and Mosaic only lowers 2-D dots).
+All reductions are broadcast/VPU ops. Round-4 profile findings
+(tools/emd_profile.py, real v5e): exp is FREE (~0% — pipelined with
+memory); the cost was the s23 multiply chain (24%) plus per-tile loop
+overhead (~1/3 of the kernel at the old 256-wide tiles) — hence the
+single-multiply F reuse (bit-identical, +7%) and full-width sweeps
+(tile = P, 1.58x at P=2048 / 1.50x at 2560; only reorders f32
+reductions, costs move ~3e-6 relative). Measured dead ends, recorded so
+they are not retried: routing the reductions through MXU matvecs loses
+(0.90x — operand relayout/conversion of the 16 MB caches exceeds the
+VPU passes saved, even with bf16-stored caches), bf16 E storage alone
+buys 1.6% for 1.7e-3 cost error, and fusing next-level exp into s23
+("merged") is 9% slower.
 
 VMEM caching: a v5e core has ~128 MB of VMEM (the oft-quoted 16 MB is
 only the compiler's DEFAULT scoped-vmem limit, raised here via
@@ -26,8 +37,7 @@ sizes (P = 2048 -> 16 MB each, P = 2560 -> 26 MB). The kernel therefore
 computes the squared-distance matrix D (and sqrt(D), the cost weights)
 ONCE into scratch instead of once per sweep per level (19x), and each
 level's kernel matrix E = exp(level * D) once instead of twice —
-removing ~half the VPU work per pair. The cached values are the exact
-f32 bits the uncached sweeps recomputed, so results are bit-identical.
+removing ~half the VPU work per pair.
 
 Differentiability (reference matchcostgrad1/2, approxmatch.cu:229-291;
 autograd wrapper match_cost.py holds the match constant): the implicit
@@ -80,12 +90,20 @@ def _init_capacity(size: int, real: int, multi: float, row: bool):
 
 
 def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
-                a_ref, b_ref, *refs, grid_col=False):
+                a_ref, b_ref, *refs, grid_col=False, tile=None):
     """`grid_col=True` is the (S, R)-grid pairwise variant
     (pairwise_kernel.py): the cost block spans the whole ref axis as
     its LAST (lane) dim and program (i, j) stores its own lane element
     (Mosaic rejects per-element output blocks over a (S, R, 1) array,
-    and a trailing 1-wide SMEM lane dim pads 128x)."""
+    and a trailing 1-wide SMEM lane dim pads 128x).
+
+    `tile` is the sweep width; callers pass the FULL padded width P
+    (round-4 finding, tools/emd_profile.py: the per-tile loop overhead
+    was ~1/3 of the kernel — full-width sweeps measure 1.58x at P=2048
+    and 1.50x at the SVR P=2560, and both still fit VMEM). Narrower
+    tiles remain supported (the width only reorders f32 reductions;
+    costs move ~3e-6 relative, the same order as XLA-vs-Pallas
+    agreement)."""
     if save_ratios:
         cost_ref, rl_ref, rr_ref = refs[:3]
         scratch = refs[3:]
@@ -99,7 +117,9 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
     a = a_ref[0]  # (N, 3)
     n = a.shape[0]
     m = b_ref.shape[1]
-    n_tiles = m // _TILE_M
+    if tile is None:
+        tile = _TILE_M
+    n_tiles = m // tile
 
     remain_l[:] = _init_capacity(n, n_real, multi_l, row=True)
     remain_r[:] = _init_capacity(m, m_real, multi_r, row=False)
@@ -107,8 +127,8 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
     # level-independent caches: exact squared distances (exp input) and
     # clamped roots (cost weights), computed once per pair
     def fill_caches(t, carry):
-        d = _dist_tile(a, b_ref, t)
-        sl = pl.ds(t * _TILE_M, _TILE_M)
+        d = _dist_tile(a, b_ref, t, tile)
+        sl = pl.ds(t * tile, tile)
         d_cache[:, sl] = d
         sqd_cache[:, sl] = jnp.sqrt(jnp.maximum(d, 1e-12))
         return carry
@@ -126,7 +146,7 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
 
         # sweep 1: row kernel sums -> ratioL; E cached for sweep 2+3
         def s1(t, suml):
-            sl = pl.ds(t * _TILE_M, _TILE_M)
+            sl = pl.ds(t * tile, tile)
             e = jnp.exp(level * d_cache[:, sl])  # (N, T)
             e_cache[:, sl] = e
             r = remain_r[:, sl]  # (1, T)
@@ -145,9 +165,13 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
         # straight from the sweep-1 cache, zero exp/dist work here.
         def s23(t, carry):
             cost_acc, row_sum = carry
-            sl = pl.ds(t * _TILE_M, _TILE_M)
+            sl = pl.ds(t * tile, tile)
             e = e_cache[:, sl]  # (N, T)
-            col = jnp.sum(e * ratio_l[:], axis=0, keepdims=True)  # (1, T)
+            # e * ratioL computed ONCE and reused for w (round-4 freuse:
+            # bit-identical, removes one of the three N x T multiplies —
+            # the ablation's 24% s23-mul share)
+            f = e * ratio_l[:]
+            col = jnp.sum(f, axis=0, keepdims=True)  # (1, T)
             r = remain_r[:, sl]
             sumr = r * col
             consumption = jnp.minimum(r / (sumr + 1e-9), 1.0)
@@ -155,7 +179,7 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
             ratio_r[:, sl] = rr
             remain_r[:, sl] = jnp.maximum(0.0, r - sumr)
 
-            w = e * ratio_l[:] * rr
+            w = f * rr
             cost_acc = cost_acc + jnp.sum(w * sqd_cache[:, sl])
             row_sum = row_sum + jnp.sum(w, axis=1, keepdims=True)
             return cost_acc, row_sum
@@ -234,7 +258,7 @@ def _emd_pallas_call(a, b, save_ratios: bool, interpret: bool):
 
     out = pl.pallas_call(
         functools.partial(
-            _emd_kernel, N, M, multi_l, multi_r, save_ratios
+            _emd_kernel, N, M, multi_l, multi_r, save_ratios, tile=P
         ),
         grid=(B,),
         in_specs=[

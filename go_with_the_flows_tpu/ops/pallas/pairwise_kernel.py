@@ -170,7 +170,7 @@ def pairwise_emd_pallas(samples, refs, interpret: bool = False):
 
     cost = pl.pallas_call(
         functools.partial(_emd_kernel, N, M, multi_l, multi_r, False,
-                          grid_col=True),
+                          grid_col=True, tile=P),
         grid=(S, R),
         in_specs=[
             pl.BlockSpec((1, P, 3), lambda i, j: (i, 0, 0),

@@ -55,21 +55,31 @@ from go_with_the_flows_tpu.ops.pallas.pairwise_kernel import (
 def _variant_kernel(n_real, m_real, multi_l, multi_r, variant,
                     a_ref, b_ref, cost_ref, *scratch):
     """Parametrized copy of emd_kernel._emd_kernel (grid_col=True path),
-    measurement-only — see module docstring for the variant semantics."""
-    (remain_l, remain_r, ratio_l, ratio_r, d_cache, sqd_cache,
-     e_cache) = scratch
+    measurement-only — see module docstring for the variant semantics.
+    A "@<width>" suffix on the variant overrides the sweep tile."""
+    tile = _TILE_M
+    if "@" in variant:
+        variant, tile = variant.split("@")
+        tile = int(tile)
+    es_cache = None
+    if len(scratch) == 8:  # mxu variants carry an extra E*sqrtD cache
+        (remain_l, remain_r, ratio_l, ratio_r, d_cache, sqd_cache,
+         e_cache, es_cache) = scratch
+    else:
+        (remain_l, remain_r, ratio_l, ratio_r, d_cache, sqd_cache,
+         e_cache) = scratch
     a = a_ref[0]
     n = a.shape[0]
     m = b_ref.shape[1]
-    n_tiles = m // _TILE_M
+    n_tiles = m // tile
     e_dtype = jnp.bfloat16 if variant == "bf16e" else jnp.float32
 
     remain_l[:] = _init_capacity(n, n_real, multi_l, row=True)
     remain_r[:] = _init_capacity(m, m_real, multi_r, row=False)
 
     def fill_caches(t, carry):
-        d = sq_dist_tile(a, b_ref, t, _TILE_M)
-        sl = pl.ds(t * _TILE_M, _TILE_M)
+        d = sq_dist_tile(a, b_ref, t, tile)
+        sl = pl.ds(t * tile, tile)
         d_cache[:, sl] = d
         sqd_cache[:, sl] = jnp.sqrt(jnp.maximum(d, 1e-12))
         return carry
@@ -82,106 +92,75 @@ def _variant_kernel(n_real, m_real, multi_l, multi_r, variant,
         return jnp.exp(x)
 
     if variant in ("mxu", "mxufull"):
-        # MXU restructure: every mul+reduce chain becomes a matvec dot
-        # at default precision (one bf16 MXU pass). VPU work per level
-        # drops to exp + one E*sqrtD mul (the profiled 24% s23-mul share
-        # plus all three reduction passes move to the MXU). Same auction
-        # math: per-tile s23 state has no cross-tile deps, so the
-        # formulation is algebraically identical (reductions reordered
-        # + bf16 operand rounding — accuracy gated on end metrics).
-        #   mxu     — dots tiled at _TILE_M, fused into two sweeps/level
-        #   mxufull — whole-(N,M) dots straight off the VMEM caches
-        def mv(mat, vec):  # (N, T) @ (T, 1)
-            return jax.lax.dot_general(
-                mat, vec, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        # MXU restructure: every mul+reduce chain becomes a full-width
+        # matvec dot and the E / E*sqrtD caches are stored BF16 so the
+        # MXU reads them directly (mxufull showed per-dot f32->bf16
+        # conversion of the 16MB cache eats the dot gains). VPU work per
+        # level drops to the exp fill + the es product (with casts);
+        # suml / col / cost / rowsum reductions all ride the MXU. Same
+        # auction math, reductions reordered + bf16 operand rounding —
+        # accuracy gated on end metrics. Vectors keep natural layouts:
+        #   suml (N,1) = E  @ rr^T   — NT dot_general (contract dim 1)
+        #   col (1,M)  = rl^T @ E    — TN dot_general (contract dim 0)
+        # (`mxufull` was the earlier f32-cache attempt, 0.91x — kept as
+        # an alias of this path.)
+        # 1-row/1-col dot operands canonicalize to a broadcast+reduce
+        # (which dies on the bf16 cache and stays on the VPU) — widen the
+        # vector operand to 8 sublanes of the SAME values and read lane 0
+        # of the result so the lowering is a genuine MXU matmul
+        def mv_nt(mat, vec_row):  # (N, M) x (1, M) -> (N, 1)
+            v8 = jnp.broadcast_to(
+                vec_row.astype(mat.dtype), (8, vec_row.shape[1])
             )
-
-        def mv_t(mat, vec):  # contract dim0: (N, T)^T @ (N, 1) -> (T, 1)
-            return jax.lax.dot_general(
-                mat, vec, (((0,), (0,)), ((), ())),
+            out = jax.lax.dot_general(
+                mat, v8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )  # (N, 8)
+            return out[:, :1]
 
-        # R-side capacity in COLUMN layout (M, 1): plain matvecs, no
-        # in-kernel transposes; both sides carried as loop values
-        rcol0 = _init_capacity(m, m_real, multi_r, row=True)  # (M, 1)
+        def mv_tn(vec_col, mat):  # (N, 1) x (N, M) -> (1, M)
+            v8 = jnp.broadcast_to(
+                vec_col.astype(mat.dtype), (vec_col.shape[0], 8)
+            )
+            out = jax.lax.dot_general(
+                v8, mat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (8, M)
+            return out[:1]
+
+        rrow0 = _init_capacity(m, m_real, multi_r, row=False)  # (1, M)
         rl_rem0 = _init_capacity(n, n_real, multi_l, row=True)
 
         def level_body(j, carry):
-            cost, level, rcol, rl_rem = carry
+            cost, level, rrow, rl_rem = carry
 
-            if variant == "mxufull":
-                def fill(t, carry):
-                    sl = pl.ds(t * _TILE_M, _TILE_M)
-                    e_cache[:, sl] = jnp.exp(level * d_cache[:, sl])
-                    return carry
-
-                jax.lax.fori_loop(0, n_tiles, fill, 0)
-                suml = mv(e_cache[:], rcol) + 1e-9
-            else:
-                # sweep 1: exp fill fused with the suml matvec
-                def s1(t, suml):
-                    sl = pl.ds(t * _TILE_M, _TILE_M)
-                    e = jnp.exp(level * d_cache[:, sl])
-                    e_cache[:, sl] = e
-                    rc_t = jax.lax.dynamic_slice(
-                        rcol, (t * _TILE_M, 0), (_TILE_M, 1)
-                    )
-                    return suml + mv(e, rc_t)
-
-                suml = jax.lax.fori_loop(
-                    0, n_tiles, s1,
-                    jnp.full((n, 1), 1e-9, jnp.float32),
+            def fill(t, carry):
+                sl = pl.ds(t * tile, tile)
+                e = jnp.exp(level * d_cache[:, sl])
+                e_cache[:, sl] = e.astype(e_cache.dtype)
+                es_cache[:, sl] = (e * sqd_cache[:, sl]).astype(
+                    es_cache.dtype
                 )
-            rl = rl_rem / suml  # (N, 1)
+                return carry
 
-            if variant == "mxufull":
-                e = e_cache[:]
-                col = mv_t(e, rl)  # (M, 1)
-                sumr = rcol * col
-                consumption = jnp.minimum(rcol / (sumr + 1e-9), 1.0)
-                rr = consumption * rcol
-                rcol_new = jnp.maximum(0.0, rcol - sumr)
-                y = mv(e_cache[:] * sqd_cache[:], rr)
-                z = mv(e, rr)
-            else:
-                # sweep 2: per tile — col dot, rr update, cost + rowsum
-                # dots (rr for a tile is final once its col exists)
-                def s23(t, carry):
-                    y, z, rcol_acc = carry
-                    sl = pl.ds(t * _TILE_M, _TILE_M)
-                    e = e_cache[:, sl]
-                    rc_t = jax.lax.dynamic_slice(
-                        rcol, (t * _TILE_M, 0), (_TILE_M, 1)
-                    )
-                    col = mv_t(e, rl)  # (T, 1)
-                    sumr = rc_t * col
-                    consumption = jnp.minimum(
-                        rc_t / (sumr + 1e-9), 1.0
-                    )
-                    rr_t = consumption * rc_t
-                    rcol_acc = jax.lax.dynamic_update_slice(
-                        rcol_acc, jnp.maximum(0.0, rc_t - sumr),
-                        (t * _TILE_M, 0),
-                    )
-                    es = e * sqd_cache[:, sl]
-                    y = y + mv(es, rr_t)
-                    z = z + mv(e, rr_t)
-                    return y, z, rcol_acc
-
-                y, z, rcol_new = jax.lax.fori_loop(
-                    0, n_tiles, s23,
-                    (jnp.zeros((n, 1), jnp.float32),
-                     jnp.zeros((n, 1), jnp.float32), rcol),
-                )
+            jax.lax.fori_loop(0, n_tiles, fill, 0)
+            e = e_cache[:]
+            suml = mv_nt(e, rrow) + 1e-9  # (N, 1)
+            rl = rl_rem / suml
+            col = mv_tn(rl, e)  # (1, M)
+            sumr = rrow * col
+            consumption = jnp.minimum(rrow / (sumr + 1e-9), 1.0)
+            rr = consumption * rrow
+            rrow_new = jnp.maximum(0.0, rrow - sumr)
+            y = mv_nt(es_cache[:], rr)  # (N, 1) cost partial
+            z = mv_nt(e, rr)  # (N, 1) row sums
             cost = cost + jnp.sum(rl * y)
             rl_rem = jnp.maximum(0.0, rl_rem - rl * z)
-            return cost, level * 0.25, rcol_new, rl_rem
+            return cost, level * 0.25, rrow_new, rl_rem
 
         cost, _, _, _ = jax.lax.fori_loop(
             0, _N_LEVELS, level_body,
-            (jnp.float32(0.0), jnp.float32(-(4.0 ** 7)), rcol0, rl_rem0),
+            (jnp.float32(0.0), jnp.float32(-(4.0 ** 7)), rrow0, rl_rem0),
         )
         cost_ref[0, 0, pl.program_id(1)] = cost
         return
@@ -192,7 +171,7 @@ def _variant_kernel(n_real, m_real, multi_l, multi_r, variant,
         # suml_{j+1} with the just-updated remainR — arithmetic and
         # operand values identical to the two-sweep schedule.
         def prologue(t, suml):
-            sl = pl.ds(t * _TILE_M, _TILE_M)
+            sl = pl.ds(t * tile, tile)
             e = jnp.exp((-4.0 ** 7) * d_cache[:, sl])
             e_cache[:, sl] = e
             return suml + jnp.sum(e * remain_r[:, sl], axis=1,
@@ -209,7 +188,7 @@ def _variant_kernel(n_real, m_real, multi_l, multi_r, variant,
 
             def s23(t, carry):
                 cost_acc, row_sum, suml_next = carry
-                sl = pl.ds(t * _TILE_M, _TILE_M)
+                sl = pl.ds(t * tile, tile)
                 e = e_cache[:, sl]
                 col = jnp.sum(e * ratio_l[:], axis=0, keepdims=True)
                 r = remain_r[:, sl]
@@ -246,7 +225,7 @@ def _variant_kernel(n_real, m_real, multi_l, multi_r, variant,
         cost, level = carry
 
         def s1(t, suml):
-            sl = pl.ds(t * _TILE_M, _TILE_M)
+            sl = pl.ds(t * tile, tile)
             e = _exp(level * d_cache[:, sl])
             e_cache[:, sl] = e.astype(e_dtype)
             r = remain_r[:, sl]
@@ -259,7 +238,7 @@ def _variant_kernel(n_real, m_real, multi_l, multi_r, variant,
 
         def s23(t, carry):
             cost_acc, row_sum = carry
-            sl = pl.ds(t * _TILE_M, _TILE_M)
+            sl = pl.ds(t * tile, tile)
             e = e_cache[:, sl].astype(jnp.float32)
             r = remain_r[:, sl]
             if variant == "nos23mul":
@@ -313,6 +292,9 @@ def _grid_variant(samples, refs, variant: str):
     scratch = _emd_scratch_shapes(P)
     if variant == "bf16e":
         scratch[-1] = pltpu.VMEM((P, P), jnp.bfloat16)
+    elif variant in ("mxu", "mxufull"):
+        scratch[-1] = pltpu.VMEM((P, P), jnp.bfloat16)  # E
+        scratch.append(pltpu.VMEM((P, P), jnp.bfloat16))  # E*sqrtD
 
     cost = pl.pallas_call(
         functools.partial(
@@ -375,8 +357,11 @@ def main():
           f"({n_pairs / t0:8.0f} pairs/s)")
 
     results = {}
-    for variant in ["baseline", "freuse", "mxu", "mxufull", "merged",
-                    "noexp", "nocost", "nos23mul", "bf16e"]:
+    variants = os.environ.get(
+        "EMD_PROFILE_VARIANTS",
+        "baseline,freuse,freuse@512,freuse@1024,freuse@2048,mxu",
+    ).split(",")
+    for variant in variants:
         try:
             t, out = timed(_grid_variant, samples, refs, variant)
         except Exception as exc:  # lowering failures are data, not fatal
@@ -385,8 +370,8 @@ def main():
             continue
         results[variant] = t
         note = ""
-        if variant in ("baseline", "merged", "freuse", "mxu", "mxufull",
-                       "bf16e"):
+        if variant.split("@")[0] in ("baseline", "merged", "freuse",
+                                     "mxu", "mxufull", "bf16e"):
             err = float(np.abs(out - ref_out).max())
             rel = err / max(1e-12, float(np.abs(ref_out).max()))
             note = (" BITEXACT" if err == 0.0
