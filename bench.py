@@ -38,16 +38,16 @@ with FLOPs/MFU accounting fields:
     matmuls — the max-throughput opt-in (metric kernels stay HIGHEST);
   - train_clouds_per_sec / train_step_ms / train_mfu: jitted flagship
     training step (B=64, fwd+bwd+adam) at the SHIPPED training default
-    ('high', where the fused Pallas training kernel auto-engages —
+    ('fast': bf16 matmuls in the fused Pallas training kernel —
     train_ae.py), fori_loop-timed with the same honest fetch sync.
     train_mfu counts decoder fwd+bwd FLOPs only (3x forward;
     encoder/prior/optimizer excluded), so it UNDERSTATES utilization
     slightly.
-  - train_highest_clouds_per_sec / train_fast_clouds_per_sec: the same
-    step at 'highest' (strict-parity opt-in, XLA path) / 'fast' (bf16
-    fused kernel) — the convergence A/B
-    (tools/train_convergence_ab.py) measured identical 300-step loss
-    trajectories for all three variants.
+  - train_highest_clouds_per_sec / train_high_clouds_per_sec: the same
+    step at 'highest' (strict-parity opt-in, XLA path) / 'high' (3-pass
+    ~f32 fused kernel) — the FULL-training end-metric A/B
+    (tools/train_quality_ab.py) measured statistically identical
+    MMD/COV/1-NNA/JSD and loss curves for all three variants.
   - pairwise_{cd,emd}_pairs_per_sec / protocol_min_10rep_est: the
     on-chip pairwise metric-matrix rates (TPU only; the generative
     MMD/COV/1-NNA hot path) and the extrapolated 10-rep airplane
@@ -352,45 +352,18 @@ def main(measure_only: bool = False):
     with matmul_precision_scope("fast"):
         fast_per_sec = timed(cd_variant(), ref)
 
-    # sparse (component-partitioned) sampling: each point decoded by
-    # only its own component's flow (ops/pallas/sparse_decode.py) —
-    # identically-distributed labeled clouds at ~1/K the decoder FLOPs.
-    # Guarded: a failure here must not cost the headline numbers.
-    sparse_metrics = {}
-    if on_tpu:
-        try:
-            sparse_model = FlowMixtureModel(
-                **FLAGSHIP, sparse_sampling=True
-            )
-
-            def sample_sparse(params, batch_stats, key):
-                _, samples, labels, _ = sparse_model.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    g_in, mode="generating", n_sampled_points=N,
-                    rngs={"sample": key},
-                )
-                return samples, labels
-
-            @jax.jit
-            def sparse_and_eval(params, batch_stats, key, ref_clouds):
-                samples, labels = sample_sparse(params, batch_stats, key)
-                gen = jnp.transpose(samples, (0, 2, 1))
-                dl, dr = chamfer_pallas(gen, ref_clouds)
-                return samples, labels, jnp.mean(dl, 1) + jnp.mean(dr, 1)
-
-            with matmul_precision_scope("high"):
-                sparse_metrics["sparse_clouds_per_sec"] = round(
-                    timed(sparse_and_eval, ref), 2
-                )
-        except Exception as e:  # noqa: BLE001 - record, don't die
-            sparse_metrics["sparse_error"] = str(e).split("\n")[0][:160]
+    # (The sparse component-partitioned sampling decode was RETIRED in
+    # round 4 — measured 2.8x slower than the dense fused kernel; spec +
+    # numbers in ROADMAP.md.)
 
     # headline train number measures the SHIPPED training default
-    # ('high' — train_ae.py; the fused Pallas training kernel engages),
-    # with 'highest' (strict-parity opt-in) and 'fast' reported alongside
-    train_per_sec, train_step_ms = _train_bench(model, "high")
+    # ('fast' — train_ae.py; bf16 matmuls in the fused Pallas training
+    # kernel, promoted by the full-training end-metric A/B,
+    # tools/train_quality_ab.py), with 'highest' (strict-parity opt-in)
+    # and 'high' (3-pass ~f32) reported alongside
+    train_per_sec, train_step_ms = _train_bench(model, "fast")
     train_highest_per_sec, _ = _train_bench(model, "highest")
-    train_fast_per_sec, _ = _train_bench(model, "fast")
+    train_high_per_sec, _ = _train_bench(model, "high")
     pairwise = _pairwise_bench() if on_tpu else {}
 
     # FLOPs accounting (see module docstring). The decoder flops are
@@ -438,8 +411,7 @@ def main(measure_only: bool = False):
         "train_step_ms": round(train_step_ms, 2),
         "train_mfu": round(train_sustained / peak, 4),
         "train_highest_clouds_per_sec": round(train_highest_per_sec, 2),
-        "train_fast_clouds_per_sec": round(train_fast_per_sec, 2),
-        **sparse_metrics,
+        "train_high_clouds_per_sec": round(train_high_per_sec, 2),
         **pairwise,
         "device_kind": jax.devices()[0].device_kind,
     }))

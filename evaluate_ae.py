@@ -46,14 +46,6 @@ def define_options_parser():
     p.add_argument("--interpolation_batches", type=int, default=3,
                    help="Loader batches to interpolate "
                         "(interpolation mode).")
-    p.add_argument("--sparse_sampling", type=str, default="auto",
-                   choices=("auto", "on", "off"),
-                   help="Component-partitioned sampling decode (each "
-                        "point through its own component's flow only, "
-                        "~1/K decoder FLOPs, identically distributed "
-                        "labeled clouds). auto = off (measured slower "
-                        "than the dense fused path on v5e; see "
-                        "tools/sparse_sampling_ab.py).")
     return p
 
 
@@ -159,8 +151,6 @@ def main():
     model_cls = FlowMixtureSVRModel if svr else FlowMixtureModel
     kwargs = model_config_kwargs(config)
     kwargs["weights_type"] = args.weights_type
-    if args.sparse_sampling != "auto":
-        kwargs["sparse_sampling"] = args.sparse_sampling == "on"
     if svr:
         kwargs["g_prior_n_layers"] = config.get("g_prior_n_layers", 1)
     model = model_cls(**kwargs)

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import functools
 import math
-import warnings
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -131,13 +130,11 @@ class FlowMixtureModel(nn.Module):
     # None = auto (TPU only), True = always (interpret off-TPU, tests),
     # False = XLA. See _decode_direct_eval.
     fused_sampling: bool | None = None
-    # Sparse (component-partitioned) sampling decode: each sampled point
-    # runs through ONLY its own component's flow, generated in
-    # component-sorted order (ops/pallas/sparse_decode.py) — ~K x fewer
-    # decoder FLOPs with an identically-distributed labeled cloud.
-    # None = auto (currently off, pending real-TPU validation),
-    # True = always (interpret off-TPU, tests), False = dense.
-    sparse_sampling: bool | None = None
+    # (A sparse component-partitioned sampling decode — each point
+    # through only its own component's flow — was built, validated for
+    # distribution equivalence, measured 2.8x SLOWER than the dense
+    # fused kernel on real v5e, and RETIRED in round 4; spec + numbers
+    # in ROADMAP.md, code at git 451de191^.)
 
     def setup(self):
         G = self.g_latent_space_size
@@ -403,11 +400,6 @@ class FlowMixtureModel(nn.Module):
             self.make_rng("sample"), logits[:, None, :], axis=-1, shape=(B, N)
         )  # (B, N)
 
-        if self._use_sparse_sampling():
-            out = self._sparse_sample(ids, g_sample, N, logits)
-            if out is not None:
-                return out
-
         base_mus, base_logvars = self._point_base(g_sample, False)
         std = jnp.exp(0.5 * base_logvars)  # (B, 3, 1)
         eps = jax.random.normal(
@@ -438,68 +430,6 @@ class FlowMixtureModel(nn.Module):
         return jax.vmap(
             lambda pr, st: pack_point_decoder(pr, st, depth, scan)
         )(dec_vars["params"], dec_vars["batch_stats"])
-
-    def _use_sparse_sampling(self) -> bool:
-        """Resolve the sparse-sampling gate (see `sparse_sampling`).
-        K=1 has no dead work; a >1-device mesh keeps the dense path
-        (which shard_maps the fused kernel) — the sparse kernel is
-        single-device for now."""
-        if self.n_components == 1:
-            return False
-        use = self.sparse_sampling
-        if use is None:
-            # auto stays OFF: real-v5e A/B (tools/sparse_sampling_ab.py)
-            # measured the sparse path 2.8x SLOWER than the dense fused
-            # kernel at flagship scale (2340 vs 6560 clouds/s sample-only)
-            # — the component-sorted layout/compaction glue and the
-            # per-128-lane FiLM loop cost more than the ~3x decoder-FLOP
-            # saving. Distribution verified identical (component stats,
-            # CD vs ref within sampling spread). Opt in explicitly to
-            # re-measure (evaluate_ae.py --sparse_sampling on).
-            return False
-        if use:
-            mesh = jax.sharding.get_abstract_mesh()
-            if not mesh.empty and mesh.size > 1:
-                warnings.warn(
-                    "sparse_sampling=True requested but the active mesh "
-                    "has >1 device; falling back to the dense fused "
-                    "sampling path (the sparse decode is single-device).",
-                    stacklevel=2,
-                )
-                return False
-        return bool(use)
-
-    def _sparse_sample(self, ids, g_sample, N: int, logits):
-        """Component-sorted labeled sampling through the sparse Pallas
-        decode (ops/pallas/sparse_decode.py): each point decoded by its
-        own component only — identically-distributed labeled clouds at
-        ~1/K the decoder FLOPs. Returns (samples, labels, logits) or
-        None during init."""
-        from ..ops.pallas.coupling_kernel import (
-            _kernel_precision_mode,
-            film_alpha_beta,
-        )
-        from ..ops.pallas.sparse_decode import (
-            sorted_labels,
-            sparse_sample_decode,
-        )
-
-        packed = self._packed_eval_decoder()
-        if packed is None:
-            return None
-        K = self.n_components
-        labels, counts = sorted_labels(ids, K)
-        ab = jax.vmap(film_alpha_beta, in_axes=(0, None))(
-            packed, g_sample
-        )
-        base_mus, base_logvars = self._point_base(g_sample, False)
-        samples = sparse_sample_decode(
-            packed, ab, self.make_rng("sample"), counts, N,
-            base_mus, base_logvars,
-            interpret=jax.default_backend() != "tpu",
-            precision_mode=_kernel_precision_mode(),
-        )
-        return samples, labels, logits
 
     def _fused_eval_decode(self, p_stack, g_sample, inverse: bool):
         """Eval-mode decode of all K components through the fused Pallas

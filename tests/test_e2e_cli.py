@@ -83,15 +83,11 @@ def test_train_and_evaluate_cli(workdir):
     assert any(c.startswith("smoke") for c in ckpts), ckpts
     assert any(c.startswith("best_model_") for c in ckpts), ckpts
 
-    # evaluation in generating mode, 2 reps, CD only (fast).
-    # --sparse_sampling on exercises the flag plumbing (under the
-    # multi-device CPU mesh the model falls back to the dense path,
-    # see models/mixture.py _use_sparse_sampling)
+    # evaluation in generating mode, 2 reps, CD only (fast)
     out = _run([
         sys.executable, "evaluate_ae.py", exp_dir, "smoke.ckpt",
         "test", "32", "32", "generating", "--batch_size", "4",
         "--reps", "2", "--cd", "--jsd", "--unit_scale_evaluation",
-        "--sparse_sampling", "on",
     ])
     assert "MMD-CD" in out
     assert "JSD" in out

@@ -137,45 +137,3 @@ def test_fused_train_kernel_lowers(mode):
         return jnp.sum(p0) + jnp.sum(lv)
 
     _lower_tpu(jax.grad(loss, argnums=(0, 1, 2)), packed, ab, p)
-
-
-def test_sparse_decode_kernel_lowers():
-    """The component-partitioned sampling kernel (sparse_decode.py):
-    dynamic-trip-count span loops, dynamic-offset lane subtiles, SMEM
-    segment tables, flattened FiLM row lookups."""
-    from go_with_the_flows_tpu.models.flows import PointDecoderFlow
-    from go_with_the_flows_tpu.ops.pallas.coupling_kernel import (
-        film_alpha_beta,
-        pack_point_decoder,
-    )
-    from go_with_the_flows_tpu.ops.pallas.sparse_decode import (
-        sorted_labels,
-        sparse_sample_decode,
-    )
-
-    n_flows, f, G, K, B, N = 2, 8, 12, 3, 8, 2048
-    model = PointDecoderFlow(n_flows=n_flows, f_features=f, g_features=G)
-    rng = np.random.RandomState(0)
-    p = jnp.asarray(rng.randn(B, 3, N).astype(np.float32) * 0.3)
-    g = jnp.asarray(rng.randn(B, G).astype(np.float32))
-    variables = jax.vmap(
-        lambda k: model.init({"params": k}, p, g, mode="direct",
-                             train=False)
-    )(jax.random.split(jax.random.PRNGKey(0), K))
-    packed = jax.vmap(
-        lambda pr, st: pack_point_decoder(pr, st, n_flows, False)
-    )(variables["params"], variables["batch_stats"])
-    ab = jax.vmap(film_alpha_beta, in_axes=(0, None))(packed, g)
-    ids = jnp.asarray(rng.randint(0, K, size=(B, N)).astype(np.int32))
-    _, counts = sorted_labels(ids, K)
-    mus = jnp.zeros((B, 3, 1), jnp.float32)
-    logvars = jnp.full((B, 3, 1), -1.0, jnp.float32)
-
-    for mode in ("highest", "high", "fast"):
-        _lower_tpu(
-            lambda pk, a_, c_: sparse_sample_decode(
-                pk, a_, jax.random.PRNGKey(5), c_, N, mus, logvars,
-                tb=4, precision_mode=mode,
-            ),
-            packed, ab, counts,
-        )
