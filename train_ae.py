@@ -112,14 +112,16 @@ def main():
     )
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 
-    # TRAINING default 'high' (3-pass bf16-split, ~f32 accuracy): the
-    # on-TPU drift audit shows loss terms agree with the fp32 oracle to
-    # ~1e-6 rel, and the 300-step convergence A/B on real TPU is
-    # indistinguishable from 'highest' (RESULTS.md) — while engaging the
-    # fused Pallas training kernel (136 -> 118 ms/step; 'fast' opt-in
-    # reaches 53 ms). Set `matmul_precision: highest` for strict
-    # fp32-pass parity with the torch reference.
-    set_matmul_precision(config.get("matmul_precision", "high"))
+    # TRAINING default 'fast' (bf16 matmuls, fused Pallas train kernel;
+    # 1,276 vs 873 clouds/s at 'high' on v5e): promoted by the FULL
+    # 3000-step training -> end-metric A/B (tools/train_quality_ab.py,
+    # RESULTS.md round-4 section) — per-variant MMD/COV/1-NNA/JSD under
+    # CD and EMD are statistically indistinguishable from 'highest'
+    # (every gap well inside the paired-rep std) and the loss curves
+    # track to <=0.3% through convergence. `matmul_precision: high`
+    # gives 3-pass ~f32 matmuls; `highest` is strict fp32-pass parity
+    # with the torch reference.
+    set_matmul_precision(config.get("matmul_precision", "fast"))
     config["logging"] = jax.process_index() == 0
     if config["logging"]:
         os.makedirs(config["logging_path"], exist_ok=True)

@@ -88,10 +88,10 @@ def main():
     )
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 
-    # training default 'high' — same evidence base as train_ae.py
-    # (drift audit + convergence A/B, RESULTS.md); 'highest' opts into
-    # strict fp32-pass parity
-    set_matmul_precision(config.get("matmul_precision", "high"))
+    # training default 'fast' — same evidence base as train_ae.py (full
+    # training -> end-metric A/B, RESULTS.md); 'high'/'highest' opt into
+    # ~f32 / strict-fp32 matmul passes
+    set_matmul_precision(config.get("matmul_precision", "fast"))
     config["logging"] = jax.process_index() == 0
     if config["logging"]:
         os.makedirs(config["logging_path"], exist_ok=True)
