@@ -134,7 +134,7 @@ class FlowMixtureModel(nn.Module):
     # through only its own component's flow — was built, validated for
     # distribution equivalence, measured 2.8x SLOWER than the dense
     # fused kernel on real v5e, and RETIRED in round 4; spec + numbers
-    # in ROADMAP.md, code at git 451de191^.)
+    # in ROADMAP.md, code at git 25c629e.)
 
     def setup(self):
         G = self.g_latent_space_size
