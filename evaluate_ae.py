@@ -207,11 +207,15 @@ def main():
                      **config)
         elif args.mode == "generating":
             results = []
+            # ref-vs-ref pairwise matrices are identical across reps —
+            # computed on rep 0, reused afterwards (checksum-guarded;
+            # see metrics.evaluation.compute_all_metrics)
+            ref_cache = {}
             for rep in range(args.reps):
                 res = evaluate(
                     loader, sample_step, state,
                     jax.random.fold_in(rng, rep), svr=svr, mesh=mesh,
-                    **config,
+                    ref_cache=ref_cache, **config,
                 )
                 results.append(res)
             agg = {}

@@ -277,6 +277,11 @@ def evaluate(
                 cd_option=kwargs.get("cd", False),
                 emd_option=kwargs.get("emd", False),
                 f1_option=kwargs.get("f1", False),
+                # reps-loop rr cache (see compute_all_metrics): the gt
+                # set is identical across reps (per-item rng is seeded
+                # by (base_seed, epoch, i) and epoch is fixed during
+                # eval), so evaluate_ae.py passes one dict across reps
+                ref_cache=kwargs.get("ref_cache"),
             )
             if kwargs.get("cd"):
                 res["cd_mmds"] = float(metrics["lgan_mmd-CD"]) * 1e4

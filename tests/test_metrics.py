@@ -156,6 +156,57 @@ class TestSuites:
         assert res["lgan_mmd-CD"] > 0
         assert res["lgan_cov-CD"] > 0.2
 
+    def test_compute_all_metrics_ref_cache(self):
+        """The reps-loop rr cache: identical numbers with and without
+        the cache, cache populated on the first call and HIT on the
+        second (monkeypatched pairwise counter), checksum mismatch
+        recomputes."""
+        import go_with_the_flows_tpu.metrics.evaluation as ev
+
+        rng = np.random.RandomState(3)
+        x1 = rng.rand(6, 48, 3).astype(np.float32)
+        x2 = rng.rand(6, 48, 3).astype(np.float32)
+        y = rng.rand(6, 48, 3).astype(np.float32)
+        kw = dict(batch_size=3, cd_option=True, f1_option=True)
+
+        plain1 = compute_all_metrics(x1, y, **kw)
+        plain2 = compute_all_metrics(x2, y, **kw)
+
+        calls = []
+        orig = ev.pairwise_EMD_CD_F1
+
+        def counting(a, b, *args, **k):
+            calls.append((a.shape, b.shape))
+            return orig(a, b, *args, **k)
+
+        ev.pairwise_EMD_CD_F1 = counting
+        try:
+            cache = {}
+            got1 = compute_all_metrics(x1, y, ref_cache=cache, **kw)
+            n_first = len(calls)
+            got2 = compute_all_metrics(x2, y, ref_cache=cache, **kw)
+            n_second = len(calls) - n_first
+        finally:
+            ev.pairwise_EMD_CD_F1 = orig
+
+        assert n_first == 3 and n_second == 2  # rr skipped on rep 2
+        for k in plain1:
+            assert np.array_equal(got1[k], plain1[k]), k
+            assert np.array_equal(got2[k], plain2[k]), k
+
+        # changed reference set under the same cache -> recompute
+        calls.clear()
+        ev.pairwise_EMD_CD_F1 = counting
+        try:
+            y2 = y + 0.01
+            fresh = compute_all_metrics(x1, y2, ref_cache=cache, **kw)
+        finally:
+            ev.pairwise_EMD_CD_F1 = orig
+        assert len(calls) == 3
+        want = compute_all_metrics(x1, y2, **kw)
+        for k in want:
+            assert np.array_equal(fresh[k], want[k]), k
+
     def test_pairwise_matrix_consistency(self):
         """Diagonal of sample-vs-sample CD must be ~0 and the matrix
         symmetric for CD."""
