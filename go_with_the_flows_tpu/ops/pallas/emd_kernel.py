@@ -13,22 +13,26 @@ and kernel matrices).
 Per level, two FULL-WIDTH sweeps over M (exactly the data dependencies
 of the algorithm):
   sweep 1:  suml_i  = 1e-9 + sum_j E_ij * remainR_j     -> ratioL
-  sweep 2+3 merged: sumr_j = remainR_j * sum_i F_ij (F = E*ratioL,
-           computed once) -> ratioR, remainR;
-           w_ij = F_ij * ratioR_j; cost += sum w_ij * dist_ij;
+  sweep 2+3 merged: sumr_j = remainR_j * sum_i E_ij * ratioL_i
+           -> ratioR, remainR;
+           w_ij = E_ij * ratioL_i * ratioR_j; cost += sum w_ij*dist_ij;
            remainL_i -= sum_j w_ij
 All reductions are broadcast/VPU ops. Round-4 profile findings
-(tools/emd_profile.py, real v5e): exp is FREE (~0% — pipelined with
-memory); the cost was the s23 multiply chain (24%) plus per-tile loop
-overhead (~1/3 of the kernel at the old 256-wide tiles) — hence the
-single-multiply F reuse (bit-identical, +7%) and full-width sweeps
-(tile = P, 1.58x at P=2048 / 1.50x at 2560; only reorders f32
-reductions, costs move ~3e-6 relative). Measured dead ends, recorded so
-they are not retried: routing the reductions through MXU matvecs loses
-(0.90x — operand relayout/conversion of the 16 MB caches exceeds the
-VPU passes saved, even with bf16-stored caches), bf16 E storage alone
-buys 1.6% for 1.7e-3 cost error, and fusing next-level exp into s23
-("merged") is 9% slower.
+(tools/emd_profile.py, real v5e): the per-tile fori_loop overhead was
+~1/3 of the kernel at the old 256-wide tiles — full-width sweeps
+(tile = P) measure 6.7k pairs/s at P=2048 (was 3.9k, 1.72x) and 1.5x
+at the SVR P=2560; the width only reorders f32 reductions (costs move
+~3e-6 relative; XLA-path agreement actually tightens to ~4e-7).
+Measured dead ends, recorded so they are not retried: reusing the
+E*ratioL product across col/w ("freuse") wins 7% at narrow tiles but
+LOSES 8% at full width (the materialized (N, N) intermediate beats the
+recompute only when it fits registers); routing the reductions through
+MXU matvecs loses (0.90x — operand relayout/conversion of the 16 MB
+caches exceeds the VPU passes saved, even with bf16-stored caches; a
+1-wide dot operand canonicalizes to broadcast+reduce unless widened to
+8 sublanes); bf16 E storage buys nothing at full width (0.90x) for
+1.7e-3 cost error; fusing next-level exp into s23 ("merged") is 9%
+slower.
 
 VMEM caching: a v5e core has ~128 MB of VMEM (the oft-quoted 16 MB is
 only the compiler's DEFAULT scoped-vmem limit, raised here via
@@ -99,8 +103,8 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
 
     `tile` is the sweep width; callers pass the FULL padded width P
     (round-4 finding, tools/emd_profile.py: the per-tile loop overhead
-    was ~1/3 of the kernel — full-width sweeps measure 1.58x at P=2048
-    and 1.50x at the SVR P=2560, and both still fit VMEM). Narrower
+    was ~1/3 of the kernel — full-width sweeps measure 1.72x at P=2048
+    and 1.5x at the SVR P=2560, and both still fit VMEM). Narrower
     tiles remain supported (the width only reorders f32 reductions;
     costs move ~3e-6 relative, the same order as XLA-vs-Pallas
     agreement)."""
@@ -167,11 +171,13 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
             cost_acc, row_sum = carry
             sl = pl.ds(t * tile, tile)
             e = e_cache[:, sl]  # (N, T)
-            # e * ratioL computed ONCE and reused for w (round-4 freuse:
-            # bit-identical, removes one of the three N x T multiplies —
-            # the ablation's 24% s23-mul share)
-            f = e * ratio_l[:]
-            col = jnp.sum(f, axis=0, keepdims=True)  # (1, T)
+            # NOTE (round-4 ablation): e*ratioL appears twice below; at
+            # narrow tiles computing it once ("freuse") won 7%, but at
+            # the shipped FULL-WIDTH tiles reusing it LOSES 8% — the
+            # materialized (N, N) f32 intermediate costs more than the
+            # recompute inside fused elementwise chains. Keep the
+            # two-product form (bit-identical either way).
+            col = jnp.sum(e * ratio_l[:], axis=0, keepdims=True)  # (1, T)
             r = remain_r[:, sl]
             sumr = r * col
             consumption = jnp.minimum(r / (sumr + 1e-9), 1.0)
@@ -179,7 +185,7 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
             ratio_r[:, sl] = rr
             remain_r[:, sl] = jnp.maximum(0.0, r - sumr)
 
-            w = f * rr
+            w = e * ratio_l[:] * rr
             cost_acc = cost_acc + jnp.sum(w * sqd_cache[:, sl])
             row_sum = row_sum + jnp.sum(w, axis=1, keepdims=True)
             return cost_acc, row_sum

@@ -290,9 +290,10 @@ def _grid_variant(samples, refs, variant: str):
     a = _pad_cloud(samples.astype(jnp.float32), P)
     b = _pad_cloud(refs.astype(jnp.float32), P)
     scratch = _emd_scratch_shapes(P)
-    if variant == "bf16e":
+    base_variant = variant.split("@")[0]
+    if base_variant == "bf16e":
         scratch[-1] = pltpu.VMEM((P, P), jnp.bfloat16)
-    elif variant in ("mxu", "mxufull"):
+    elif base_variant in ("mxu", "mxufull"):
         scratch[-1] = pltpu.VMEM((P, P), jnp.bfloat16)  # E
         scratch.append(pltpu.VMEM((P, P), jnp.bfloat16))  # E*sqrtD
 
@@ -376,11 +377,12 @@ def main():
             rel = err / max(1e-12, float(np.abs(ref_out).max()))
             note = (" BITEXACT" if err == 0.0
                     else f" maxerr {err:.3e} (rel {rel:.1e})")
+        base_t = results[variants[0]] if variants[0] in results else t
         print(f"{variant:>9}: {t * 1e6 / n_pairs:9.1f} us/pair "
               f"({n_pairs / t:8.0f} pairs/s)  "
-              f"x{results['baseline'] / t:4.2f} vs baseline{note}")
+              f"x{base_t / t:4.2f} vs {variants[0]}{note}")
 
-    base = results["baseline"]
+    base = results.get("baseline", results[variants[0]])
 
     def share(name):
         if name not in results:
