@@ -228,9 +228,13 @@ def _pairwise_bench(s: int = 64, r: int = 64):
         lambda x, y: pairwise_cd_stats_pallas(x, y, f1_threshold=1e-3)
     )
     emd_rate = timed_pairs(lambda x, y: (pairwise_emd_pallas(x, y),))
-    protocol_pairs = 3 * 405 * 405
+    # rep 1 computes rs+rr+ss; reps 2..10 reuse the rr matrices through
+    # evaluate_ae.py's ref_cache (round 4) -> 3 + 9*2 matrix units
+    matrix_units = 3 + 9 * 2
+    protocol_pairs = 405 * 405
     protocol_min = (
-        10 * protocol_pairs * (1.0 / cd_rate + 1.0 / emd_rate) / 60.0
+        matrix_units * protocol_pairs
+        * (1.0 / cd_rate + 1.0 / emd_rate) / 60.0
     )
     return {
         "pairwise_cd_pairs_per_sec": round(cd_rate, 1),
