@@ -42,6 +42,11 @@ from .common import round_up as _round_up, sq_dist_tile as _sq_dist_tile
 _TILE_M = 512
 _SENTINEL = 1e9  # pad coordinate: never wins a min against real points
 _BIG_IDX = 2 ** 30
+# full-width sweeps hold a (n_pad, m_pad) distance tile (+ argmin
+# iota/where temporaries on the with_idx path) in scoped VMEM at once:
+# ~23 MB at 2048, ~60 MB at the SVR 2560 — above the compiler's 16 MB
+# default, comfortably under the 128 MB physical (emd_kernel.py note)
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _masked_argmin(d, m, axis, base):
@@ -55,7 +60,9 @@ def _masked_argmin(d, m, axis, base):
     return jnp.min(keep, axis=axis, keepdims=True) + base
 
 
-def _nn_kernel(save_idx, a_ref, b_ref, *out_refs):
+def _nn_kernel(save_idx, a_ref, b_ref, *out_refs, tile=None):
+    # `tile` = sweep width over the ref axis; callers pass the FULL
+    # padded width (round-4 tile-overhead lesson, see emd_kernel.py)
     if save_idx:
         dl_ref, il_ref, dr_ref, ir_ref = out_refs
     else:
@@ -66,13 +73,15 @@ def _nn_kernel(save_idx, a_ref, b_ref, *out_refs):
     a = a_ref[0]  # (N, 3)
     n = a.shape[0]
     m = b_ref.shape[1]
+    if tile is None:
+        tile = _TILE_M
 
     def tile_body(t, carry):
         dl, il = carry
-        d = _sq_dist_tile(a, b_ref, t, _TILE_M)
+        d = _sq_dist_tile(a, b_ref, t, tile)
         # column minima + argminima are final per tile
         col_min = jnp.min(d, axis=0, keepdims=True)  # (1, T)
-        sl = pl.ds(t * _TILE_M, _TILE_M)
+        sl = pl.ds(t * tile, tile)
         dr_ref[0, :, sl] = col_min
         if not save_idx:
             return jnp.minimum(dl, jnp.min(d, axis=1, keepdims=True).T), il
@@ -80,12 +89,12 @@ def _nn_kernel(save_idx, a_ref, b_ref, *out_refs):
         # row minima: carried across tiles; strict < keeps the first
         # (lowest-index) occurrence, matching argmin semantics
         row_min = jnp.min(d, axis=1, keepdims=True).T  # (1, N)
-        row_idx = _masked_argmin(d, row_min.T, 1, t * _TILE_M).T
+        row_idx = _masked_argmin(d, row_min.T, 1, t * tile).T
         better = row_min < dl
         return jnp.minimum(dl, row_min), jnp.where(better, row_idx, il)
 
     dl, il = jax.lax.fori_loop(
-        0, m // _TILE_M, tile_body,
+        0, m // tile, tile_body,
         (
             jnp.full((1, n), jnp.inf, jnp.float32),
             jnp.zeros((1, n), jnp.int32),
@@ -135,7 +144,7 @@ def nn_distance_pallas(a: jax.Array, b: jax.Array, interpret: bool = False,
         out_shape = [shape(n_pad, jnp.float32), shape(m_pad, jnp.float32)]
 
     out = pl.pallas_call(
-        functools.partial(_nn_kernel, with_idx),
+        functools.partial(_nn_kernel, with_idx, tile=m_pad),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, n_pad, 3), lambda i: (i, 0, 0),
@@ -145,6 +154,9 @@ def nn_distance_pallas(a: jax.Array, b: jax.Array, interpret: bool = False,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(a, b)
     if with_idx:

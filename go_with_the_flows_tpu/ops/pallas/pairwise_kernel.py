@@ -61,11 +61,17 @@ def _pad_sentinel(x, target: int):
     return jnp.concatenate([x, pad], axis=1)
 
 
-def _cd_stats_kernel(n_real, m_real, thr, a_ref, b_ref,
+def _cd_stats_kernel(n_real, m_real, thr, tile, a_ref, b_ref,
                      cdl_ref, cdr_ref, prec_ref, rec_ref):
     """Per-pair Chamfer stats: row/col min-distance reductions folded to
     scalars in VMEM (reference evaluation_metrics.py:118-168 per-pair
-    math; F1 precision/recall per :77-81 on squared distances)."""
+    math; F1 precision/recall per :77-81 on squared distances).
+
+    `tile` is the sweep width over the ref axis; the caller passes the
+    FULL padded width (round-4: 48.1k pairs/s at N=2048 vs 29.6k at the
+    old 512-wide tiles — same per-tile-loop-overhead lesson as the EMD
+    kernel; mins are order-insensitive, only the col_sum f32 order
+    moves, ~1e-9)."""
     a = a_ref[0]  # (n_pad, 3)
     n = a.shape[0]
     m = b_ref.shape[1]
@@ -73,9 +79,9 @@ def _cd_stats_kernel(n_real, m_real, thr, a_ref, b_ref,
 
     def body(t, carry):
         row_min, col_sum, col_cnt = carry
-        d = _sq_dist_tile(a, b_ref, t, _TILE)  # (n_pad, T)
-        col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, _TILE), 1)
-                   + t * _TILE)
+        d = _sq_dist_tile(a, b_ref, t, tile)  # (n_pad, T)
+        col_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+                   + t * tile)
         valid = col_ids < m_real
         col_min = jnp.min(d, axis=0, keepdims=True)  # (1, T)
         col_sum = col_sum + jnp.sum(jnp.where(valid, col_min, 0.0))
@@ -88,7 +94,7 @@ def _cd_stats_kernel(n_real, m_real, thr, a_ref, b_ref,
         return row_min, col_sum, col_cnt
 
     row_min, col_sum, col_cnt = jax.lax.fori_loop(
-        0, m // _TILE, body,
+        0, m // tile, body,
         (
             jnp.full((1, n), jnp.inf, jnp.float32),
             jnp.float32(0.0),
@@ -139,7 +145,8 @@ def pairwise_cd_stats_pallas(samples, refs, f1_threshold: float,
                             memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((S, 1, R), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_cd_stats_kernel, N, M, float(f1_threshold)),
+        functools.partial(_cd_stats_kernel, N, M, float(f1_threshold),
+                          m_pad),
         grid=(S, R),
         in_specs=[
             # constant along j: the sample cloud stays resident across
