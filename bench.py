@@ -7,11 +7,13 @@ clouds (prior flow forward + K vmapped decoder flows + categorical gather)
 AND evaluate each against a reference batch (bidirectional Chamfer), all
 in one jitted program on the current default device.
 
-The headline runs at the EVAL-path default matmul precision, 'high'
-(3-pass bf16-split, ~f32 accuracy — promoted after the round-2 drift
-audit measured tpu-high tensor drift equal to tpu-highest and the
-end-metric A/B showed identical protocol numbers; see RESULTS.md).
-Training keeps the fp32 'highest' default; its throughput is reported
+The headline runs at the GENERATING-eval default matmul precision,
+'fast' (bf16 — promoted in round 4 after the flagship paired A/B showed
+every generative metric, MMD/COV/1-NNA over CD and EMD plus JSD,
+statistically identical to fp32-'highest' sampling; the AE /
+reconstruction eval default stays 'high' because the PAIRED F1@1e-4
+moves ~2% relative under bf16 drift; see RESULTS.md round 4).
+Training runs its own 'fast' default; its throughput is reported
 separately.
 
 Prints ONE JSON line:
@@ -34,8 +36,10 @@ with FLOPs/MFU accounting fields:
     EMD is ~35x the Chamfer arithmetic, so this is the expensive eval);
   - highest_clouds_per_sec: sample + CD at fp32 'highest' (the old
     parity-first default, kept for comparability with BENCH_r01/r02);
-  - fast_mode_clouds_per_sec: sample + CD with 'fast' (bf16) model
-    matmuls — the max-throughput opt-in (metric kernels stay HIGHEST);
+  - high_mode_clouds_per_sec: sample + CD with 'high' (3-pass ~f32)
+    model matmuls — the AE/reconstruction eval default (the headline
+    measures the GENERATING default, 'fast'; metric kernels stay
+    HIGHEST in every mode);
   - train_clouds_per_sec / train_step_ms / train_mfu: jitted flagship
     training step (B=64, fwd+bwd+adam) at the SHIPPED training default
     ('fast': bf16 matmuls in the fused Pallas training kernel —
@@ -328,8 +332,11 @@ def main(measure_only: bool = False):
     from go_with_the_flows_tpu.ops.precision import matmul_precision_scope
 
     # the model precision is read at TRACE time (first call), so both
-    # the jit construction AND the timed first call sit inside the scope
-    with matmul_precision_scope("high"):  # eval-path default
+    # the jit construction AND the timed first call sit inside the scope.
+    # Headline = the GENERATING eval default ('fast' since round 4 —
+    # flagship paired A/B showed every generative metric identical to
+    # 'highest' sampling, tools/eval_precision_ab.py / RESULTS.md)
+    with matmul_precision_scope("fast"):
         clouds_per_sec = timed(sample_and_eval, ref)
         if measure_only:
             print(f"# measured {clouds_per_sec:.3f} clouds/sec on "
@@ -350,11 +357,12 @@ def main(measure_only: bool = False):
         return sample_and_eval_v
 
     # fp32 'highest' (parity-first; comparable with BENCH_r01/r02) and
-    # 'fast' (bf16, max throughput); metric kernels pin HIGHEST in all
+    # 'high' (3-pass ~f32, the AE/reconstruction eval default); metric
+    # kernels pin HIGHEST in all modes
     with matmul_precision_scope("highest"):
         highest_per_sec = timed(cd_variant(), ref)
-    with matmul_precision_scope("fast"):
-        fast_per_sec = timed(cd_variant(), ref)
+    with matmul_precision_scope("high"):
+        high_per_sec = timed(cd_variant(), ref)
 
     # (The sparse component-partitioned sampling decode was RETIRED in
     # round 4 — measured 2.8x slower than the dense fused kernel; spec +
@@ -403,7 +411,7 @@ def main(measure_only: bool = False):
         "vs_baseline": round(clouds_per_sec / CPU_BASELINE_CLOUDS_PER_SEC, 2),
         "emd_clouds_per_sec": round(emd_per_sec, 2),
         "highest_clouds_per_sec": round(highest_per_sec, 2),
-        "fast_mode_clouds_per_sec": round(fast_per_sec, 2),
+        "high_mode_clouds_per_sec": round(high_per_sec, 2),
         "sample_only_clouds_per_sec": round(sample_per_sec, 2),
         "sample_frac": round(clouds_per_sec / max(sample_per_sec, 1e-9), 4),
         "model_tflops_per_cloud": round(model_flops / 1e12, 6),

@@ -89,13 +89,22 @@ def main():
     config = load_config(os.path.join(args.experiment_path, "config.yaml"))
     from go_with_the_flows_tpu.ops.precision import set_matmul_precision
 
-    # eval-path default is 'high' (3-pass bf16-split, ~f32 accuracy at
-    # ~2x sampling throughput — promoted after the round-2/3 drift audit
-    # and end-metric A/B, see RESULTS.md); `eval_matmul_precision` (or a
-    # legacy `matmul_precision`) in the experiment config overrides
+    # Eval-path precision defaults (override with `eval_matmul_precision`
+    # or a legacy `matmul_precision` in the experiment config):
+    #   generating     -> 'fast' (bf16): the flagship paired A/B
+    #     (tools/eval_precision_ab.py, RESULTS.md round 4) shows every
+    #     reported generative metric — MMD/COV/1-NNA over CD AND EMD,
+    #     JSD — statistically identical to fp32-'highest' sampling (the
+    #     metrics are distributional; per-point bf16 drift is a
+    #     different random draw from the same flow)
+    #   autoencoding / reconstruction -> 'high' (3-pass, ~f32): the
+    #     PAIRED protocol's CD/EMD also match at 'fast' to 4 significant
+    #     figures, but F1@1e-4 (threshold counting) moves ~2% relative —
+    #     keep the ~f32 mode where pairing makes drift visible
+    default_prec = "fast" if args.mode == "generating" else "high"
     set_matmul_precision(
         config.get("eval_matmul_precision",
-                   config.get("matmul_precision", "high"))
+                   config.get("matmul_precision", default_prec))
     )
     config["logging_path"] = args.experiment_path
     config["model_name"] = args.modelname

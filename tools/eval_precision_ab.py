@@ -151,6 +151,29 @@ def main():
                     float(np.std([r[k] for r in per_rep])))
                 for k in per_rep[0]
             }
+            # ---- autoencoding: PAIRED reconstruction metrics ----
+            # the generative metrics above are distributional (immune to
+            # per-point drift); the AE/SVR protocol pairs reconstruction
+            # i with gt i (reference evaluating.py:167-189) — check the
+            # paired CD/EMD/F1 table under the same mode
+            from go_with_the_flows_tpu.metrics.evaluation import (
+                EMD_CD_F1,
+            )
+
+            ae_step = make_sample_step(model, N, mode="autoencoding")
+            recon, _, _ = ae_step(state, g_in, jax.random.PRNGKey(7))
+            r_nc3 = np.asarray(
+                jnp.transpose(recon, (0, 2, 1)), np.float32
+            )
+            ae = EMD_CD_F1(
+                r_nc3, np.asarray(g_in.transpose(0, 2, 1), np.float32),
+                batch_size=min(args.s, 64), cd_option=True,
+                emd_option=True, f1_option=True, f1_threshold=1e-4,
+            )
+            agg["AE-CD_x1e4"] = (float(ae["CD"]) * 1e4, 0.0)
+            agg["AE-EMD_x1e2"] = (float(ae["EMD"]) * 1e2, 0.0)
+            agg["AE-F1"] = (float(ae["F1"]), 0.0)
+
             results[mode] = agg
             print(f"## mode={mode}")
             for k, (mu, sd) in sorted(agg.items()):
