@@ -185,9 +185,17 @@ def main():
         # every interpolant, h5 dump
         from go_with_the_flows_tpu.eval.interpolate import interpolate
 
-        out_path = os.path.join(
-            args.experiment_path, f"interpolations_{args.part}.h5"
-        )
+        if args.interpolation_steps < 2:
+            raise SystemExit("--interpolation_steps must be >= 2 "
+                             "(the endpoints themselves)")
+        # multi-host: each process's loader holds a different shard —
+        # only process 0 writes (its shard), matching evaluate()'s
+        # h5-dump gating
+        out_path = None
+        if jax.process_index() == 0:
+            out_path = os.path.join(
+                args.experiment_path, f"interpolations_{args.part}.h5"
+            )
         c1, _, interps, labels = interpolate(
             loader, model, state, rng,
             n_steps=args.interpolation_steps,
@@ -197,7 +205,8 @@ def main():
         print(f"Interpolated {c1.shape[0]} shape pairs x "
               f"{interps.shape[-1]} steps "
               f"(labels 1..{int(labels.max())}).")
-        print(f"Saved interpolations to {out_path}.")
+        if out_path is not None:
+            print(f"Saved interpolations to {out_path}.")
         return
 
     mode = args.mode if args.mode != "reconstruction" or svr else "autoencoding"

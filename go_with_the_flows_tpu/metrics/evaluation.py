@@ -136,12 +136,16 @@ def pairwise_EMD_CD_F1(
     per-pair-batch path is used instead.
 
     Multi-host: sample ROWS are split contiguously across processes —
-    each host computes only its block on its local devices and the
-    blocks are allgathered, so a P-process fleet runs the protocol's
-    most expensive phase ~P x faster while every host still ends with
-    the identical full matrices (the inputs are the already-gathered
-    global buffers, see eval/evaluating.py). Matrix entries are
-    per-pair quantities, so block boundaries cannot change any value.
+    each host computes only its block and the blocks are allgathered,
+    so a P-process fleet runs the protocol's most expensive phase ~P x
+    faster while every host still ends with the identical full matrices
+    (the inputs are the already-gathered global buffers, see
+    eval/evaluating.py). Matrix entries are per-pair quantities, so
+    block boundaries cannot change any value. Known limitation: under
+    process sharding each host's block runs on ONE local device
+    (_grid_mesh returns no device mesh when process_count > 1 — the
+    single-host shard_map cannot be nested there), so hosts with
+    multiple local chips leave the extras idle in this phase.
     `process_shard=False` forces the old every-host-computes-everything
     behavior (used by the parity test as the oracle).
 
@@ -433,11 +437,19 @@ def compute_all_metrics(
 
     rr = None
     if ref_cache is not None:
+        import hashlib
+
         key = (
             "rr", ref_pcs.shape, float(f1_threshold), cd_option,
             one_part_of_cd, emd_option, f1_option, batch_size,
         )
-        checksum = float(np.asarray(ref_pcs, np.float64).sum())
+        # content hash, not a sum: a permuted/edited reference set must
+        # MISS (rr rows must stay aligned with the rs columns). ~10 MB
+        # at protocol size -> ~10 ms once per rep, noise next to the
+        # matrices it guards
+        checksum = hashlib.sha1(
+            np.ascontiguousarray(ref_pcs, np.float32).tobytes()
+        ).hexdigest()
         hit = ref_cache.get(key)
         if hit is not None and hit[0] == checksum:
             rr = hit[1]

@@ -37,7 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import round_up as _round_up, sq_dist_tile as _sq_dist_tile
+from .common import (
+    round_up as _round_up,
+    sq_dist_tile as _sq_dist_tile,
+    sweep_tile as _sweep_tile,
+)
 
 _TILE_M = 512
 _SENTINEL = 1e9  # pad coordinate: never wins a min against real points
@@ -144,7 +148,8 @@ def nn_distance_pallas(a: jax.Array, b: jax.Array, interpret: bool = False,
         out_shape = [shape(n_pad, jnp.float32), shape(m_pad, jnp.float32)]
 
     out = pl.pallas_call(
-        functools.partial(_nn_kernel, with_idx, tile=m_pad),
+        functools.partial(_nn_kernel, with_idx,
+                          tile=_sweep_tile(m_pad, _TILE_M)),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, n_pad, 3), lambda i: (i, 0, 0),

@@ -70,7 +70,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..emd import _capacities  # single source for the multiplicity rule
-from .common import round_up as _round_up, sq_dist_tile
+from .common import round_up as _round_up, sq_dist_tile, sweep_tile
 
 _TILE_M = 256  # sweep tile width (a few (N, T) f32 temporaries live at once)
 _TILE_BWD = 128  # backward holds d/e/w/coeff tiles at once -> narrower tile
@@ -264,7 +264,8 @@ def _emd_pallas_call(a, b, save_ratios: bool, interpret: bool):
 
     out = pl.pallas_call(
         functools.partial(
-            _emd_kernel, N, M, multi_l, multi_r, save_ratios, tile=P
+            _emd_kernel, N, M, multi_l, multi_r, save_ratios,
+            tile=sweep_tile(P, _TILE_M)
         ),
         grid=(B,),
         in_specs=[

@@ -43,7 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..emd import _capacities
-from .common import round_up as _round_up, sq_dist_tile as _sq_dist_tile
+from .common import (
+    round_up as _round_up,
+    sq_dist_tile as _sq_dist_tile,
+    sweep_tile as _sweep_tile,
+)
 from .emd_kernel import _TILE_M as _EMD_TILE, _emd_kernel
 from .emd_kernel import _VMEM_LIMIT as _EMD_VMEM_LIMIT
 from .emd_kernel import _emd_scratch_shapes
@@ -146,7 +150,7 @@ def pairwise_cd_stats_pallas(samples, refs, f1_threshold: float,
     out_shape = jax.ShapeDtypeStruct((S, 1, R), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_cd_stats_kernel, N, M, float(f1_threshold),
-                          m_pad),
+                          _sweep_tile(m_pad, _TILE)),
         grid=(S, R),
         in_specs=[
             # constant along j: the sample cloud stays resident across
@@ -158,6 +162,11 @@ def pairwise_cd_stats_pallas(samples, refs, f1_threshold: float,
         ],
         out_specs=[out_spec] * 4,
         out_shape=[out_shape] * 4,
+        # the full-width distance tile exceeds the compiler's 16 MB
+        # default scoped-VMEM budget at protocol shapes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_EMD_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(a, b)
     return tuple(o[:, 0, :] for o in outs)
@@ -177,7 +186,8 @@ def pairwise_emd_pallas(samples, refs, interpret: bool = False):
 
     cost = pl.pallas_call(
         functools.partial(_emd_kernel, N, M, multi_l, multi_r, False,
-                          grid_col=True, tile=P),
+                          grid_col=True,
+                          tile=_sweep_tile(P, _EMD_TILE)),
         grid=(S, R),
         in_specs=[
             pl.BlockSpec((1, P, 3), lambda i, j: (i, 0, 0),

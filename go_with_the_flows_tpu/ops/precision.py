@@ -14,15 +14,16 @@ Modes:
     reference's fp32 math; the library-level default and a config
     opt-in on the CLIs. The measured on-TPU drift and throughput cost
     are published in RESULTS.md ("On-TPU numerical parity audit").
-  * "high": bf16x3 passes (~f32 accuracy). The CLI default for BOTH
-    training and eval: the drift audit measured tpu-high tensor drift
-    equal to tpu-highest, the end-metric A/B shows identical protocol
-    numbers, and the 300-step training convergence A/B on real TPU is
-    indistinguishable from 'highest' (RESULTS.md) — while engaging the
-    fused Pallas kernels (sampling AND the training decoder).
-  * "fast": the hardware default (bf16 passes) — max-throughput opt-in
-    (1,190 train clouds/s vs 395 at 'highest'; convergence measured
-    identical on the A/B, but kept opt-in out of caution).
+  * "high": bf16x3 passes (~f32 accuracy; drift audit: tensor drift
+    equal to 'highest'). Since round 4 this is the CLI default only for
+    the PAIRED eval modes (autoencoding / reconstruction — the paired
+    F1@1e-4 is the one reported number that visibly moves under bf16
+    drift, RESULTS.md round 4).
+  * "fast": bf16 passes (the hardware default) — the CLI default for
+    TRAINING (train_ae.py / train_svr.py; promoted by full-training
+    end-metric A/Bs for both model families) and for GENERATING-mode
+    eval (flagship paired A/B: every distributional metric identical to
+    'highest' sampling). RESULTS.md round 4 holds all three gates.
 
 The module-level default stays "highest" so library users get parity
 unless a CLI/scope says otherwise.

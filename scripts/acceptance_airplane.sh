@@ -31,7 +31,9 @@
 # back to CPU during a tunnel flap) and retries on failure every 90 s —
 # train stages resume from the last checkpoint via --resume, so a flap
 # mid-stage loses at most the steps since the last save cadence.
-set -u
+# pipefail: the eval stage pipes through tee — without it '|| exit 1'
+# would test tee's status and a failed 7-hour run would print 'done'
+set -u -o pipefail
 
 SYNTHETIC=0
 if [ "${1:-}" = "--synthetic" ]; then
