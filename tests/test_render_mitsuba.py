@@ -6,12 +6,22 @@ scene XML (well-formed, one sphere per point, colors wired through), and
 the EXR->PNG tonemap — mirroring reference render_mitsuba.py:96-134.
 """
 
+import importlib.util
+import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
 import pytest
 
-import render_mitsuba as rm
+# load the repo-root script by path: the reference-parity tests put the
+# reference checkout on sys.path, whose own render_mitsuba.py would
+# shadow a plain `import render_mitsuba` in full-suite runs
+_spec = importlib.util.spec_from_file_location(
+    "gwtf_render_mitsuba",
+    os.path.join(os.path.dirname(__file__), "..", "render_mitsuba.py"),
+)
+rm = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(rm)
 
 
 def test_standardize_bbox_fits_unit_cube():
