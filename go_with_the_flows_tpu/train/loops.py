@@ -75,6 +75,11 @@ def train(
     """
     num_workers = max(int(config.get("num_workers", 1)), 1)
     logging = config.get("logging", False)
+    # checkpointing must be PROCESS-UNIFORM: save_checkpoint is a
+    # collective in multi-process runs, while `logging` (stdout/TB) is
+    # rank-0 only. CLIs set checkpointing=True on every process;
+    # single-process library callers fall back to the logging flag.
+    ckpting = config.get("checkpointing", logging)
     logging_path = config.get("logging_path", ".")
     model_name = config.get("model_name", "model.ckpt")
     # figure/checkpoint cadence: reference hardcodes 100*num_workers
@@ -167,20 +172,23 @@ def train(
                 sys.stdout.write(line)
                 sys.stdout.flush()
 
-            if (it + 1) % ckpt_steps == 0 and logging:
-                save_checkpoint(logging_path, model_name, state, epoch,
-                                it + 1)
+            if (it + 1) % ckpt_steps == 0:
+                if ckpting:
+                    save_checkpoint(logging_path, model_name, state, epoch,
+                                    it + 1)
                 # periodic SVR reconstruction figures with the
-                # conditioning image (training.py:269-291)
-                if (svr_recon_fn is not None and writer is not None
-                        and config.get("logging_img")):
-                    from ..viz.tb import add_svr_reconstruction_tb
-
+                # conditioning image (training.py:269-291). svr_recon_fn
+                # contains multi-host collectives (gather_global), so ALL
+                # processes run it; only the TB write is rank-0 (writer).
+                if svr_recon_fn is not None and config.get("logging_img"):
                     samples, gts, labels, images = svr_recon_fn(state)
-                    add_svr_reconstruction_tb(
-                        images, gts, samples, labels, writer,
-                        epoch * n_batches + it + 1,
-                    )
+                    if writer is not None and logging:
+                        from ..viz.tb import add_svr_reconstruction_tb
+
+                        add_svr_reconstruction_tb(
+                            images, gts, samples, labels, writer,
+                            epoch * n_batches + it + 1,
+                        )
     finally:
         trace_scope.close()  # epochs shorter than profile_steps
 
@@ -191,7 +199,7 @@ def train(
         writer.add_scalar("train/PNLL", meters["pnll"].avg, epoch)
         writer.add_scalar("train/GNLL", meters["gnll"].avg, epoch)
         writer.add_scalar("train/GENT", meters["gent"].avg, epoch)
-    if logging:
+    if ckpting:
         save_checkpoint(logging_path, model_name, state, epoch + 1, 0)
     return state
 
@@ -221,6 +229,10 @@ def evaluate_val(
     from ..parallel.mesh import place_batch_uneven
 
     logging = config.get("logging", False)
+    # process-uniform (see train()): the best-model save must run on
+    # every process — the global-batch loss makes min_loss identical
+    # everywhere, so the decision itself cannot diverge
+    ckpting = config.get("checkpointing", logging)
     logging_path = config.get("logging_path", ".")
     model_name = config.get("model_name", "model.ckpt")
     meters = {k: AverageMeter() for k in ("loss", "pnll", "gnll", "gent")}
@@ -252,21 +264,25 @@ def evaluate_val(
         writer.add_scalar("val/GNLL", meters["gnll"].avg, epoch)
         writer.add_scalar("val/GENT", meters["gent"].avg, epoch)
 
+    # reconstruct_fn contains multi-host collectives (gather_global), so
+    # when figures are on, ALL processes run it; only the TB write is
+    # rank-0 (writer). The gating config keys are process-uniform.
     if (
-        logging
-        and writer is not None
-        and reconstruct_fn is not None
+        reconstruct_fn is not None
         and config.get("logging_img")
+        and (logging or jax.process_count() > 1)
         and epoch % max(int(config.get("logging_img_frequency", 1)), 1) == 0
     ):
-        from ..viz.tb import add_figures_reconstruction_tb
-
         samples, gts, labels = reconstruct_fn(state, max_batches=1)
-        add_figures_reconstruction_tb(gts, samples, labels, writer, epoch)
+        if logging and writer is not None:
+            from ..viz.tb import add_figures_reconstruction_tb
+
+            add_figures_reconstruction_tb(gts, samples, labels, writer,
+                                          epoch)
 
     if meters["loss"].avg < min_loss:
         min_loss = meters["loss"].avg
-        if logging:
+        if ckpting:
             save_checkpoint(
                 logging_path, "best_model_" + model_name, state,
                 epoch + 1, 0,

@@ -20,10 +20,12 @@
 #                  --synthetic: ~1 s
 #   staged train   4 invocations (epochs 800/1200/1400/1450, lr
 #                  2.56e-4 -> 4e-6), airplane category ~2.7k shapes:
-#                  ~5 s/epoch on-chip at the fused-'high' default
-#                  (~873 clouds/s) -> ~6 h total; --synthetic: ~10 min
+#                  ~3.4 s/epoch on-chip at the fused-'fast' default
+#                  (~1,262 clouds/s, BENCH_r04) -> ~4 h total;
+#                  --synthetic: ~10 min
 #   evaluate       10-rep generating protocol at 405 test shapes:
-#                  ~24 min (BENCH_r03 protocol_min_10rep_est);
+#                  ~10 min (9.7 measured end-to-end, RESULTS.md r4;
+#                  BENCH_r04 protocol_min_10rep_est 9.8);
 #                  --synthetic: ~3 min
 #
 # TPU-tunnel resilience: every device stage runs under

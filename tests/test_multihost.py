@@ -101,6 +101,37 @@ WORKER = textwrap.dedent("""
     print('proc {{}} VAL={{:.6f}} CD={{:.6f}} F1={{:.6f}} RSUM={{:.6f}}'
           .format(pid, min_loss, res['cd'], res['f1_0.0010'],
                   float(np.abs(samples).sum())))
+
+    # full multi-host checkpoint cycle (VERDICT r4 weak #1): save the
+    # trained state (a collective — every process calls it), restore it
+    # restart-shaped (fresh template, rank-0 read + broadcast), assert
+    # state equality, then take one more step from the restored state
+    from go_with_the_flows_tpu.train.checkpoints import (
+        save_checkpoint, restore_checkpoint, checkpoint_exists,
+    )
+    from go_with_the_flows_tpu.parallel.mesh import replicate
+
+    save_checkpoint(data_dir, 'mh_test.ckpt', state, 3, 7)
+    assert checkpoint_exists(data_dir, 'mh_test.ckpt')
+    template = create_train_state(model, jax.random.PRNGKey(42), batch,
+                                  opt)
+    restored, ep, it = restore_checkpoint(data_dir, 'mh_test.ckpt',
+                                          template)
+    assert (ep, it) == (3, 7), (ep, it)
+    trained_host = jax.tree.map(
+        lambda x: np.asarray(x.addressable_data(0))
+        if hasattr(x, 'addressable_data') else np.asarray(x), state)
+    for a, b in zip(jax.tree.leaves(trained_host),
+                    jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    restored = replicate(mesh, restored)
+    with jax.set_mesh(mesh):
+        dev = shard_batch(mesh, batch)
+        restored, m2 = step(restored, dev['cloud'], dev['eval_cloud'],
+                            jax.random.PRNGKey(9), warmup=False)
+        loss2 = float(m2['loss'])
+    assert np.isfinite(loss2)
+    print('proc {{}} CKPT OK loss2={{:.6f}}'.format(pid, loss2))
 """).format(repo=REPO)
 
 
@@ -151,3 +182,11 @@ def test_two_process_distributed_training(tmp_path):
         for out in outputs
     ]
     assert lines[0].split(" ", 2)[2] == lines[1].split(" ", 2)[2], lines
+    # the post-restore step ran on both processes with the same loss:
+    # the checkpoint save/restore cycle is multi-host correct
+    ckpt_lines = [
+        next(line for line in out.splitlines() if "CKPT OK" in line)
+        for out in outputs
+    ]
+    assert ckpt_lines[0].split("loss2=")[1] == \
+        ckpt_lines[1].split("loss2=")[1], ckpt_lines

@@ -10,13 +10,15 @@ The reference metric stack is CPU-runnable except the CUDA EMD:
   - occupancy-grid JSD           (reference evaluation_metrics.py:315-430)
   - voxel JSD                    (reference lib/networks/utils.py:45-87)
 
-The one non-comparable metric is EMD itself: the reference computes it
-only through the CUDA extension (approxmatch.cu), which cannot run here.
-Our EMD is therefore validated elsewhere against a scipy Hungarian oracle
-and a f64 re-derivation (tests/test_metrics.py, tests/test_pallas_kernels.py);
-THIS file proves that every reduction, threshold, scale and protocol
-decision AROUND the per-pair distances matches the reference bit-for-bit
-semantics, so the acceptance run on real data cannot drift on protocol.
+EMD cannot run through the reference's own code here (CUDA-only,
+approxmatch.cu) — but it is PROVEN-IDENTICAL SEMANTICS by a literal
+loop-for-loop numpy transliteration of that kernel asserted equal to
+ops/emd.py::approx_match/match_cost (tests/test_emd_oracle.py), plus a
+scipy Hungarian oracle and a f64 re-derivation (tests/test_metrics.py,
+tests/test_pallas_kernels.py). THIS file proves that every reduction,
+threshold, scale and protocol decision AROUND the per-pair distances
+matches the reference bit-for-bit semantics, so the acceptance run on
+real data cannot drift on protocol.
 
 Import trick: `lib.metrics.evaluation_metrics` imports the built CUDA
 package at module top (evaluation_metrics.py:9-10); we pre-register stub

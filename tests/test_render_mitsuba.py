@@ -100,12 +100,20 @@ def test_exr_to_png_tonemap():
     assert np.isclose(ldr[1, 0], 255.0 * 0.5 ** (1 / 2.2))
 
 
-@pytest.mark.parametrize("h", [-0.4, 0.1])
-def test_floor_shift_only_when_below_plane(tmp_path, h):
-    # clouds whose lowest (post-permute) z sits below -0.25 are lifted onto
-    # the ground plane; others are left in place (render_mitsuba.py:109)
+@pytest.mark.parametrize("tall", [True, False])
+def test_floor_shift_only_when_below_plane(tmp_path, tall):
+    # clouds whose lowest (post-permute) z sits below -0.25 are lifted
+    # onto the ground plane; others are left in place
+    # (render_mitsuba.py:103-109). Input y becomes scene z after the
+    # [2, 0, 1] permute; standardize_bbox scales by the WIDEST axis, so a
+    # y-flat cloud with a wide x axis keeps its scene-z extent near 0 and
+    # must NOT be shifted.
     pcl = np.zeros((4, 3), np.float32)
-    pcl[:, 1] = np.linspace(0.0, 1.0, 4)  # input y -> scene z after permute
+    pcl[:, 0] = np.linspace(0.0, 1.0, 4)  # wide axis (sets the scale)
+    if tall:
+        pcl[:, 1] = np.linspace(0.0, 1.0, 4)  # scene z spans [-0.5, 0.5]
+    else:
+        pcl[:, 1] = 0.5 + np.linspace(0.0, 0.1, 4)  # scene z ~ [-.05, .05]
     path = tmp_path / "s.xml"
     rm.write_scene_xml(pcl, path)
     root = ET.parse(path).getroot()
@@ -114,5 +122,10 @@ def test_floor_shift_only_when_below_plane(tmp_path, h):
         for s in root.iter("shape")
         if s.get("type") == "sphere"
     ]
-    # standardized cloud spans z in [-0.5, 0.5] -> h=-0.5 < -0.25: shifted
-    assert np.isclose(min(zs), -0.6875)
+    if tall:
+        # h = -0.5 < -0.25: lifted so the lowest sphere sits at -0.6875
+        assert np.isclose(min(zs), -0.6875)
+    else:
+        # h = -0.05 >= -0.25: left in place (no -0.6875 offset applied)
+        assert np.isclose(min(zs), -0.05)
+        assert min(zs) > -0.25

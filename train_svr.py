@@ -93,6 +93,10 @@ def main():
     # ~f32 / strict-fp32 matmul passes
     set_matmul_precision(config.get("matmul_precision", "fast"))
     config["logging"] = jax.process_index() == 0
+    # checkpointing is process-uniform: save/restore are collectives in
+    # multi-process runs (see train/checkpoints.py), so EVERY process
+    # must reach them — unlike stdout/TB logging, which is rank-0 only
+    config["checkpointing"] = True
     if config["logging"]:
         os.makedirs(config["logging_path"], exist_ok=True)
         import yaml
