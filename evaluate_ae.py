@@ -153,6 +153,7 @@ def main():
         dataset, batch_size=args.batch_size, shuffle=False,
         drop_last=False,  # the eval protocol covers the full split
         num_workers=config.get("num_workers", 0),
+        worker_type=config.get("worker_type", "thread"),
         num_replicas=jax.process_count(), rank=jax.process_index(),
     )
     print(f"Dataset init: done ({len(dataset)} items).")

@@ -110,6 +110,16 @@ class ShapeNetCoreDataset:
             self.data_file.close()
             self.data_file = None
 
+    def __getstate__(self):
+        """Spawn-picklable (the loader's process-pool workers): open h5
+        handles cannot cross a process boundary — drop them; each worker
+        lazily reopens its own SWMR handle on first read."""
+        state = self.__dict__.copy()
+        for key in ("data_file", "images_file"):
+            if key in state:
+                state[key] = None
+        return state
+
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 

@@ -7,13 +7,18 @@ dataset (DistributedSampler semantics: seeded permutation, padded to a
 multiple of world size, round-robin split), collates numpy batches, and
 hands (B, 3, N) clouds / (B, H, W, C) images to the device step.
 
-Workers: `num_workers > 0` uses a THREAD pool for the CPU-hot surface
-sampling (numpy releases the GIL on the large-array ops; h5py serializes
-its own calls behind its global lock). A fork-based process pool under a
-multithreaded JAX host is the CPython-documented deadlock hazard — the
-child inherits held locks — and the native batched sampler
-(csrc/sampler.cpp) covers the true multi-core need, so it takes priority
-over the pool whenever it is available.
+Workers: `num_workers > 0` with the default `worker_type="thread"` uses
+a THREAD pool for the CPU-hot surface sampling (numpy releases the GIL
+on the large-array ops; h5py serializes its own calls behind its global
+lock); `worker_type="process"` uses a SPAWN-based process pool — true
+multi-core for the GIL-bound parts of the pipeline (h5 reads, small-array
+transforms). Spawn, not fork: forking a multithreaded JAX host is the
+CPython-documented deadlock hazard (the child inherits held locks).
+Each worker process unpickles the dataset once (open h5 handles are
+dropped in __getstate__; workers lazily reopen their own SWMR handles)
+and serves index lookups. The native batched sampler (csrc/sampler.cpp)
+is already multi-core and takes priority over either pool whenever it
+is available.
 """
 
 from __future__ import annotations
@@ -26,6 +31,22 @@ from typing import Iterator, Optional
 import numpy as np
 
 _END = object()  # sentinel: producer finished
+
+_WORKER_DATASET = None  # set once per spawned worker process
+
+
+def _process_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_worker_get(args):
+    # the parent's set_epoch does not reach spawned workers' dataset
+    # copies, and the per-sample RNG is epoch-seeded — sync it per task
+    epoch, i = args
+    if _WORKER_DATASET.epoch != epoch:
+        _WORKER_DATASET.set_epoch(epoch)
+    return _WORKER_DATASET[int(i)]
 
 
 def _collate(samples, image_nhwc=True):
@@ -51,12 +72,17 @@ class DataLoader:
         seed: int = 0,
         image_nhwc: bool = True,
         prefetch: int = 2,
+        worker_type: str = "thread",
     ):
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be 'thread' or 'process', "
+                             f"got {worker_type!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.worker_type = worker_type
         self.num_replicas = num_replicas
         self.rank = rank
         self.seed = seed
@@ -100,9 +126,19 @@ class DataLoader:
 
     def _get_pool(self):
         if self._pool is None and self.num_workers > 0:
-            from multiprocessing.pool import ThreadPool
+            if self.worker_type == "process":
+                import multiprocessing as mp
 
-            self._pool = ThreadPool(self.num_workers)
+                ctx = mp.get_context("spawn")
+                self._pool = ctx.Pool(
+                    self.num_workers,
+                    initializer=_process_worker_init,
+                    initargs=(self.dataset,),
+                )
+            else:
+                from multiprocessing.pool import ThreadPool
+
+                self._pool = ThreadPool(self.num_workers)
         return self._pool
 
     def _assemble(self, chunk) -> dict:
@@ -113,12 +149,19 @@ class DataLoader:
             samples = self.dataset.get_batch(chunk)
         if samples is None:
             pool = self._get_pool()
-            if pool is not None:
+            if pool is None:
+                samples = [self.dataset[int(i)] for i in chunk]
+            elif self.worker_type == "process":
+                # each spawned worker holds its own unpickled dataset
+                # (module global, _process_worker_init)
+                samples = pool.map(
+                    _process_worker_get,
+                    [(self.epoch, int(i)) for i in chunk],
+                )
+            else:
                 samples = pool.map(
                     lambda i: self.dataset[int(i)], list(chunk)
                 )
-            else:
-                samples = [self.dataset[int(i)] for i in chunk]
         return _collate(samples, self.image_nhwc)
 
     def __iter__(self) -> Iterator[dict]:

@@ -400,9 +400,15 @@ def compute_all_metrics(
     f1_option: bool = False,
     verbose: bool = False,
     ref_cache: Optional[dict] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Dict[str, float]:
     """MMD/COV (sample-vs-ref) + 1-NNA (ss, rs, rr) over CD / EMD / F1
     (reference evaluation_metrics.py:232-309).
+
+    `use_pallas`: forwarded to pairwise_EMD_CD_F1 (None = auto: TPU +
+    big-enough clouds; True forces the grid kernels — interpret mode on
+    CPU, used by the multichip eval dryrun to exercise the
+    device-sharded pair grid on a virtual mesh).
 
     `ref_cache`: an empty dict owned by the caller that survives across
     repeated calls with the SAME reference set (the 10-rep generating
@@ -416,7 +422,7 @@ def compute_all_metrics(
     opts = dict(
         f1_threshold=f1_threshold, cd_option=cd_option,
         one_part_of_cd=one_part_of_cd, emd_option=emd_option,
-        f1_option=f1_option, verbose=verbose,
+        f1_option=f1_option, verbose=verbose, use_pallas=use_pallas,
     )
     rs_cd, rs_emd, rs_f1, rs_cdl, rs_cdr = pairwise_EMD_CD_F1(
         sample_pcs, ref_pcs, batch_size, **opts
@@ -441,7 +447,7 @@ def compute_all_metrics(
 
         key = (
             "rr", ref_pcs.shape, float(f1_threshold), cd_option,
-            one_part_of_cd, emd_option, f1_option, batch_size,
+            one_part_of_cd, emd_option, f1_option, batch_size, use_pallas,
         )
         # content hash, not a sum: a permuted/edited reference set must
         # MISS (rr rows must stay aligned with the rs columns). ~10 MB

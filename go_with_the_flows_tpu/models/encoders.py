@@ -58,6 +58,14 @@ class FeatureEncoder(nn.Module):
     mu_bias: float = 0.0
     logvar_weight_std: float = 0.01
     logvar_bias: float = 0.0
+    # torch-equivalent running-stat momentum. The mixture's SHARED
+    # p_prior is invoked once per component in the reference's decode
+    # loop (flow_mixture.py:163-167 -> one_flow_decode -> p_prior), i.e.
+    # K momentum-0.9 updates per step with the SAME batch — identical to
+    # a single update with momentum 0.9^K, which is what the vmapped
+    # single-call path here must use (found by the step-locked training
+    # parity test).
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -71,7 +79,8 @@ class FeatureEncoder(nn.Module):
                 name=f"mlp{i}",
             )(h)
             if self.use_batch_norm:
-                h = batch_norm(train, -1, f"mlp{i}_bn")(h)
+                h = batch_norm(train, -1, f"mlp{i}_bn",
+                               momentum=self.bn_momentum)(h)
             h = jax.nn.silu(h)
 
         mus = nn.Dense(

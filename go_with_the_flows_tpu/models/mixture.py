@@ -167,7 +167,12 @@ class FlowMixtureModel(nn.Module):
         )
 
         # Point base prior, shared across mixture components
-        # (reference models.py:80-92; the mixture reuses the single p_prior).
+        # (reference models.py:80-92; the mixture reuses the single
+        # p_prior). The reference's decode loop calls it once PER
+        # component (flow_mixture.py:163-167) — K same-batch BN updates
+        # per step — while we call it once, so its BN momentum is 0.9^K
+        # for bit-equal running-stat dynamics.
+        p_prior_momentum = 0.9 ** self.n_components
         if self.p_decoder_base_type == "free":
             self.p_prior = FeatureEncoder(
                 n_layers=self.p_prior_n_layers,
@@ -177,6 +182,7 @@ class FlowMixtureModel(nn.Module):
                 mu_bias=0.0,
                 logvar_weight_std=0.01,
                 logvar_bias=0.0,
+                bn_momentum=p_prior_momentum,
             )
         elif self.p_decoder_base_type == "freevar":
             self.p_prior = FeatureEncoder(
@@ -185,6 +191,7 @@ class FlowMixtureModel(nn.Module):
                 deterministic=True,
                 mu_weight_std=0.01,
                 mu_bias=0.0,
+                bn_momentum=p_prior_momentum,
             )
         elif self.p_decoder_base_type != "fixed":
             raise ValueError(

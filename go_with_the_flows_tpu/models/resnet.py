@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.layers import TorchBatchNorm
 from ..ops.precision import matmul_precision
 
 
@@ -36,7 +37,9 @@ def _conv(features, kernel, stride, name):
 
 
 def _bn(train, name):
-    return nn.BatchNorm(
+    # TorchBatchNorm: Bessel-corrected running_var, exactly torch's
+    # BatchNorm2d train-time bookkeeping (see ops/layers.py)
+    return TorchBatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
     )
 

@@ -75,23 +75,97 @@ class SharedDot(nn.Module):
         return y
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with EXACT torch `_BatchNorm` training semantics.
+
+    Differs from flax `nn.BatchNorm` in one place: torch normalizes with
+    the BIASED batch variance but blends the UNBIASED (Bessel-corrected,
+    x n/(n-1)) variance into `running_var` (torch functional.batch_norm);
+    flax blends the biased one. The gap per update is var/(n-1) — noise
+    for point-axis BNs (n = B*N) but up to 33% per update for the
+    B-reduced FiLM BNs at small batch — and it lands exactly where
+    checkpoint equivalence is judged: eval-time normalization. Found by
+    the step-locked training parity test (tests/test_training_parity.py).
+
+    Variable/param names and stat math mirror flax `nn.BatchNorm`
+    (batch_stats {mean, var}, params {scale, bias}; float32 stats,
+    fast-variance E[x^2] - E[x]^2 clipped at 0) so checkpoints and
+    weight-synced tests are unaffected.
+    """
+
+    use_running_average: bool
+    axis: int = -1
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        feature_axis = self.axis % x.ndim
+        red_axes = tuple(i for i in range(x.ndim) if i != feature_axis)
+        feat_shape = (x.shape[feature_axis],)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros(feat_shape, jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones(feat_shape, jnp.float32),
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=red_axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = 1
+                for i in red_axes:
+                    n *= x.shape[i]
+                bessel = float(n) / float(max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * (var * bessel)
+        shape = [1] * x.ndim
+        shape[feature_axis] = -1
+        y = (x - mean.reshape(shape).astype(x.dtype)) * jax.lax.rsqrt(
+            var.reshape(shape).astype(x.dtype) + self.epsilon
+        )
+        if self.use_scale:
+            scale = self.param(
+                "scale", nn.initializers.ones_init(), feat_shape
+            )
+            y = y * scale.reshape(shape).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), feat_shape
+            )
+            y = y + bias.reshape(shape).astype(x.dtype)
+        return y
+
+
 def batch_norm(train: bool, axis: int, name: str, affine: bool = True,
-               axis_name: str | None = None) -> nn.BatchNorm:
+               momentum: float = 0.9) -> TorchBatchNorm:
     """BatchNorm configured to match torch BatchNorm1d semantics
-    (momentum 0.1 in torch convention == 0.9 in flax, eps 1e-5).
+    (momentum 0.1 in torch convention == 0.9 in flax, eps 1e-5,
+    Bessel-corrected running_var — see TorchBatchNorm). `momentum`
+    overrides the running-stat blend for modules the reference invokes
+    more than once per step (K same-batch updates == one momentum^K
+    update).
 
     Under `jit` SPMD over a device mesh the batch axis is global, so the
     batch statistics are automatically synchronized across replicas — this is
     the TPU-native equivalent of the reference's SyncBatchNorm conversion
-    (train_ae.py:152). `axis_name` is only needed under shard_map/pmap.
+    (train_ae.py:152).
     """
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=not train,
-        momentum=0.9,
+        momentum=momentum,
         epsilon=1e-5,
         axis=axis,
         use_scale=affine,
         use_bias=affine,
-        axis_name=axis_name,
         name=name,
     )

@@ -167,16 +167,21 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
         # column sum exists (it only depends on the completed ratioL), so
         # the weight/cost accumulation reuses the same E tile — read
         # straight from the sweep-1 cache, zero exp/dist work here.
+        # Round-5 factoring: ratioL_i is constant over j, so it is pulled
+        # OUT of the (N, T) products — sum_j w = ratioL * sum_j(e*rr) and
+        # cost = sum_i ratioL_i * sum_j(e*rr*sqd) — dropping the former
+        # w = e*ratioL*rr materialization: 3 full-width multiplies per
+        # level instead of 5 (the round-4 re-ablation put these
+        # multiplies at 23% of the kernel). Exact algebra; f32 ordering
+        # moves costs ~1e-6 relative, same class as the tile-width
+        # reordering already documented above.
+        # (Round-4 ablation note, still honored: materializing a shared
+        # e*ratioL across uses — "freuse" — LOSES at full width; here
+        # e*ratioL appears exactly once, for the column sums.)
         def s23(t, carry):
             cost_acc, row_sum = carry
             sl = pl.ds(t * tile, tile)
             e = e_cache[:, sl]  # (N, T)
-            # NOTE (round-4 ablation): e*ratioL appears twice below; at
-            # narrow tiles computing it once ("freuse") won 7%, but at
-            # the shipped FULL-WIDTH tiles reusing it LOSES 8% — the
-            # materialized (N, N) f32 intermediate costs more than the
-            # recompute inside fused elementwise chains. Keep the
-            # two-product form (bit-identical either way).
             col = jnp.sum(e * ratio_l[:], axis=0, keepdims=True)  # (1, T)
             r = remain_r[:, sl]
             sumr = r * col
@@ -185,16 +190,21 @@ def _emd_kernel(n_real, m_real, multi_l, multi_r, save_ratios,
             ratio_r[:, sl] = rr
             remain_r[:, sl] = jnp.maximum(0.0, r - sumr)
 
-            w = e * ratio_l[:] * rr
-            cost_acc = cost_acc + jnp.sum(w * sqd_cache[:, sl])
-            row_sum = row_sum + jnp.sum(w, axis=1, keepdims=True)
+            p = e * rr  # (N, T)
+            cost_acc = cost_acc + jnp.sum(
+                jnp.sum(p * sqd_cache[:, sl], axis=1, keepdims=True)
+                * ratio_l[:]
+            )
+            row_sum = row_sum + jnp.sum(p, axis=1, keepdims=True)
             return cost_acc, row_sum
 
         cost_l, row_sum = jax.lax.fori_loop(
             0, n_tiles, s23,
             (jnp.float32(0.0), jnp.zeros((n, 1), jnp.float32)),
         )
-        remain_l[:] = jnp.maximum(0.0, remain_l[:] - row_sum)
+        remain_l[:] = jnp.maximum(
+            0.0, remain_l[:] - ratio_l[:] * row_sum
+        )
         if save_ratios:
             rr_ref[0, j, :] = ratio_r[0]
         return cost + cost_l

@@ -17,7 +17,17 @@ These kernels run the ENTIRE chain on chip:
     the BatchNorm batch statistics are computed on chip (masked to the
     real points), each coupling's INPUT state is streamed to HBM for
     the backward, and the (mean, var) pairs are emitted for the
-    running-stat update (flax momentum semantics are applied outside).
+    running-stat update (torch momentum + Bessel semantics are applied
+    outside, decoder_stats_update). Round-5 pipeline: the sd0_bn stat
+    sweep is MOMENT ALGEBRA — h0 = W0 x is linear, so its stats come
+    from the 3x3 second moment of the state (Σh0 = W0 S,
+    Σh0² = diag(W0 M W0ᵀ)), accumulated in the PREVIOUS coupling's
+    output sweep and carried across grid steps in scratch — so each
+    coupling after the first runs 2 full-width passes over the (f2, L)
+    state instead of 3. (The same algebra for sd1 via the activation
+    Gram Σ a aᵀ was measured SLOWER at 'fast' — the bf16 (f2, f2) dot
+    costs more than the VPU sweeps it replaces — and numerically
+    fragile; sd1 keeps direct full-width sums.)
   * backward (`_bwd_kernel`): grid (K, C) in the reverse (direct)
     order. Hidden activations are recomputed from the saved coupling
     inputs; the only full-width tensor kept between the in-step passes
@@ -286,14 +296,6 @@ def _chunk_clouds(B: int, npad: int, lane_target: int) -> int:
     return cb
 
 
-def _masked_sums(x, mask):
-    """(sum, sum of squares) over lanes, restricted to real points."""
-    xm = x if mask is None else x * mask
-    s = jnp.sum(xm, axis=1, keepdims=True)
-    ss = jnp.sum(xm * xm, axis=1, keepdims=True)
-    return s, ss
-
-
 def _film_rows(ab_ref, chunk, cb):
     """FiLM affine rows for the clouds of lane chunk `chunk`:
     (fw, fb) each (cb, f2) — row j is cloud chunk*cb + j."""
@@ -316,10 +318,31 @@ def _film_apply(n1, fw, fb, npad, cb):
     return segs[0] if cb == 1 else jnp.concatenate(segs, axis=1)
 
 
+def _moments3(xb, mask, prec):
+    """First/second moments of a (3, lc) state chunk over its (masked)
+    lanes: S = Σ x (3, 1), M = Σ x xᵀ (3, 3). The whole sd0_bn stat
+    sweep reduces to these NINE numbers because h0 = W0 x is linear:
+    Σh0 = W0 S and Σh0² = diag(W0 M W0ᵀ) — so the stats cost 3-wide
+    work plus a tiny dot instead of full-width f2-wide reductions."""
+    xm = xb if mask is None else xb * mask
+    S = jnp.sum(xm, axis=1, keepdims=True)
+    M = _mxdg(xm, xb, prec)
+    return S, M
+
+
+def _h0_sums_from_moments(w0, S, M):
+    """(Σ h0, Σ h0²) per feature from the x-moments (all tiny, VPU)."""
+    s = jnp.sum(w0 * S.T, axis=1, keepdims=True)  # W0 @ S
+    t = (w0[:, 0:1] * M[0:1, :] + w0[:, 1:2] * M[1:2, :]
+         + w0[:, 2:3] * M[2:3, :])                # W0 @ M  (f2, 3)
+    ss = jnp.sum(t * w0, axis=1, keepdims=True)   # diag(W0 M W0ᵀ)
+    return s, ss
+
+
 def _fwd_kernel(C, B, npad, n_real, cb, prec, axis_name, n_shards,
                 p_ref, w0_ref, s0_ref, bb0_ref, w1_ref,
                 w2_ref, b2_ref, ab_ref,
-                p0_ref, lv_ref, xsave_ref, stats_ref, h2_scr,
+                p0_ref, lv_ref, xsave_ref, stats_ref, h2_scr, carry_scr,
                 *xchg_refs):
     c = pl.program_id(1)
     # B is the LOCAL (per-shard) batch; BN statistics divide by the
@@ -349,48 +372,80 @@ def _fwd_kernel(C, B, npad, n_real, cb, prec, axis_name, n_shards,
         xb = p0_ref[0, :, pl.ds(chunk * lc, lc)]  # (3, lc)
         return xb, _mxdot(w0, xb, prec)           # (f2, lc)
 
-    # pass 1: sd0_bn batch statistics
-    def p1(chunk, carry):
-        s, ss = carry
-        _, h0 = h0_of(chunk)
-        ms, mss = _masked_sums(h0, mask)
-        return s + ms, ss + mss
+    z3 = (jnp.zeros((3, 1), jnp.float32), jnp.zeros((3, 3), jnp.float32))
 
-    z2 = (jnp.zeros((f2, 1), jnp.float32), jnp.zeros((f2, 1), jnp.float32))
-    s, ss = jax.lax.fori_loop(0, nb, p1, z2)
+    # x-moment seed (FIRST coupling of each component only): every later
+    # coupling consumes the moments its PREDECESSOR's output sweep
+    # accumulated (pass 3 below), so the former per-coupling stat sweep
+    # vanishes: 3 full-width passes per coupling become 2, and the stat
+    # arithmetic itself is moment algebra on (3, 3) / (f2, f2) blocks.
+    @pl.when(c == 0)
+    def _seed_stats():
+        def p1(chunk, carry):
+            S, M = carry
+            xb = p0_ref[0, :, pl.ds(chunk * lc, lc)]
+            Sc, Mc = _moments3(xb, mask, prec)
+            return S + Sc, M + Mc
+
+        S, M = jax.lax.fori_loop(0, nb, p1, z3)
+        carry_scr[0:1, :] = S.T
+        carry_scr[1:4, :] = M
+
+    S = carry_scr[0:1, :].T
+    M = carry_scr[1:4, :]
+    s, ss = _h0_sums_from_moments(w0, S, M)
     if n_shards > 1:
+        # the derived per-feature sums are LINEAR in (S, M), so the
+        # cross-shard reduction can stay in the f2 message layout
         s, ss = _global_stat_sums(s, ss, 0, axis_name, n_shards,
                                   *xchg_refs)
     mean0 = s / denom
-    var0 = ss / denom - mean0 * mean0
+    # clamp like flax _compute_stats: reduced-precision moment dots can
+    # push a tiny variance fractionally negative
+    var0 = jnp.maximum(ss / denom - mean0 * mean0, 0.0)
     inv0 = jax.lax.rsqrt(var0 + _BN_EPS)
     alpha0 = inv0 * scale0
     beta0 = bias0 - mean0 * alpha0
     stats_ref[0, 0, 0:1, :] = mean0.T
     stats_ref[0, 0, 1:2, :] = var0.T
 
-    # pass 2: sd1_bn batch statistics (h2 cached full-width in VMEM)
+    # pass 2: sd1_bn batch statistics (h2 cached full-width in VMEM).
+    # Direct full-width sums, NOT the h2-Gram algebra
+    # (Σh2² = diag(W1 (Σ a aᵀ) W1ᵀ)): measured on v5e at 'fast', the
+    # (f2, f2) Gram dot in bf16 is SLOWER than the VPU sweeps it
+    # replaces AND numerically fragile — relu'd activations have
+    # near-constant channels whose tiny variance drowns in the bf16
+    # Gram's error, driving var1 negative (NaN through rsqrt).
     def p2(chunk, carry):
         s, ss = carry
         _, h0 = h0_of(chunk)
         a = jnp.maximum(alpha0 * h0 + beta0, 0.0)
         h2 = _mxdot(w1, a, prec)
         h2_scr[:, pl.ds(chunk * lc, lc)] = h2
-        ms, mss = _masked_sums(h2, mask)
-        return s + ms, ss + mss
+        h2m = h2 if mask is None else h2 * mask
+        s = s + jnp.sum(h2m, axis=1, keepdims=True)
+        ss = ss + jnp.sum(h2m * h2m, axis=1, keepdims=True)
+        return s, ss
 
-    s, ss = jax.lax.fori_loop(0, nb, p2, z2)
+    zf = (jnp.zeros((f2, 1), jnp.float32),
+          jnp.zeros((f2, 1), jnp.float32))
+    s, ss = jax.lax.fori_loop(0, nb, p2, zf)
     if n_shards > 1:
         s, ss = _global_stat_sums(s, ss, 1, axis_name, n_shards,
                                   *xchg_refs)
     mean1 = s / denom
-    var1 = ss / denom - mean1 * mean1
+    var1 = jnp.maximum(ss / denom - mean1 * mean1, 0.0)
     inv1 = jax.lax.rsqrt(var1 + _BN_EPS)
     stats_ref[0, 0, 2:3, :] = mean1.T
     stats_ref[0, 0, 3:4, :] = var1.T
 
-    # pass 3: FiLM + heads + the inverse coupling update
+    # pass 3: FiLM + heads + the inverse coupling update, fused with the
+    # NEXT coupling's x-moment accumulation (x_new is still in
+    # registers; on the last coupling the tiny extra work is harmless —
+    # the carry is either consumed by the next grid step or re-seeded
+    # at its c == 0)
     def p3(chunk, carry):
+        S, M = carry
         sl = pl.ds(chunk * lc, lc)
         h2 = h2_scr[:, sl]
         n1 = (h2 - mean1) * inv1
@@ -402,11 +457,15 @@ def _fwd_kernel(C, B, npad, n_real, cb, prec, axis_name, n_shards,
         logvar = jax.nn.soft_sign(ylv)
         scale = jnp.sqrt(_EPS + jnp.exp(logvar))
         xb = p0_ref[0, :, sl]
-        p0_ref[0, :, sl] = (xb - ymu) / scale
+        x_new = (xb - ymu) / scale
+        p0_ref[0, :, sl] = x_new
         lv_ref[0, :, sl] = lv_ref[0, :, sl] + logvar
-        return carry
+        Sc, Mc = _moments3(x_new, mask, prec)
+        return S + Sc, M + Mc
 
-    jax.lax.fori_loop(0, nb, p3, 0)
+    S, M = jax.lax.fori_loop(0, nb, p3, z3)
+    carry_scr[0:1, :] = S.T
+    carry_scr[1:4, :] = M
 
 
 # --------------------------------------------------------------------- #
@@ -738,7 +797,10 @@ def _fwd_call(packed, ab, p, interpret, precision_mode, axis_name=None,
 
     grid = (K, C)
     state_spec = pl.BlockSpec((1, 3, L), lambda k, c: (k, 0, 0))
-    scratch = [pltpu.VMEM((f2, L), jnp.float32)]  # h2 cache
+    scratch = [
+        pltpu.VMEM((f2, L), jnp.float32),  # h2 cache
+        pltpu.VMEM((4, 3), jnp.float32),   # carried x-moments [Sᵀ; M]
+    ]
     if n_shards > 1:
         scratch += _xchg_scratch(n_shards, f2)
     out = pl.pallas_call(
@@ -903,19 +965,33 @@ def fused_train_decode(packed, ab, p, interpret=False,
 
 def decoder_stats_update(old_stats, kernel_stats, film_stats,
                          n_flows: int, scan_layout: bool,
-                         momentum: float = 0.9):
+                         momentum: float = 0.9,
+                         n_sd: int | None = None,
+                         n_film: int | None = None):
     """Fold the kernel-computed batch statistics into the decoder's
-    batch_stats collection with flax running-average semantics
+    batch_stats collection with torch running-average semantics
     (ra = momentum * ra + (1 - momentum) * batch; ops/layers.py
-    batch_norm uses momentum 0.9 = torch 0.1).
+    batch_norm uses momentum 0.9 = torch 0.1; running VAR blends the
+    Bessel-corrected batch variance, x n/(n-1), exactly like
+    TorchBatchNorm — the kernel emits raw biased batch stats).
 
     kernel_stats: (K, C, 4, 2f) from fused_train_decode;
     film_stats: (mean, var) each (K, C, 4, f) from film_wb_train
     (vmapped over K); old_stats: the decoder's current batch_stats
-    subtree (unrolled or scanned layout to match `scan_layout`).
+    subtree (unrolled or scanned layout to match `scan_layout`);
+    n_sd / n_film: reduction counts of the conditioner BNs (global
+    B * N) and the FiLM BNs (global B) for the Bessel factor — None
+    keeps the raw biased blend (pre-round-5 behavior, tests only).
     """
     from ...models.flows import unrolled_to_scanned_params  # cycle-safe
 
+    def bessel(n):
+        if n is None:
+            return 1.0
+        return float(n) / float(max(n - 1, 1))
+
+    b_sd = bessel(n_sd)
+    b_film = bessel(n_film)
     f = kernel_stats.shape[3] // 2
     C = kernel_stats.shape[1]
     fmean, fvar = film_stats
@@ -927,17 +1003,17 @@ def decoder_stats_update(old_stats, kernel_stats, film_stats,
             sl = slice(hi * f, (hi + 1) * f)
             heads[head] = {
                 "sd0_bn": {"mean": kernel_stats[:, c, 0, sl],
-                           "var": kernel_stats[:, c, 1, sl]},
+                           "var": kernel_stats[:, c, 1, sl] * b_sd},
                 "sd1_bn": {"mean": kernel_stats[:, c, 2, sl],
-                           "var": kernel_stats[:, c, 3, sl]},
+                           "var": kernel_stats[:, c, 3, sl] * b_sd},
                 # film nets in (lv_w, lv_b, mu_w, mu_b) order
                 "cond_w": {"film0_bn": {
                     "mean": fmean[:, c, 2 * hi],
-                    "var": fvar[:, c, 2 * hi],
+                    "var": fvar[:, c, 2 * hi] * b_film,
                 }},
                 "cond_b": {"film0_bn": {
                     "mean": fmean[:, c, 2 * hi + 1],
-                    "var": fvar[:, c, 2 * hi + 1],
+                    "var": fvar[:, c, 2 * hi + 1] * b_film,
                 }},
             }
         tree[f"flow{i}_nvp{j + 1}"] = heads

@@ -119,9 +119,15 @@ def _fused_training_decode(model, params, g_sample, p_clouds):
             packed, ab, p_stack, interpret, _kernel_precision_mode()
         )
 
+    # Bessel-correction counts for the running-var blend (TorchBatchNorm
+    # semantics): conditioner BNs reduce over (global batch x points),
+    # film BNs over the global batch. Shapes here are GLOBAL under jit.
+    B_glob, _, N_pts = p_clouds.shape
+
     def stats_update(old_decoder_stats):
         return decoder_stats_update(
-            old_decoder_stats, stats, film_stats, depth, scan
+            old_decoder_stats, stats, film_stats, depth, scan,
+            n_sd=B_glob * N_pts, n_film=B_glob,
         )
 
     return p0, lv, stats_update

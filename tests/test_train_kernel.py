@@ -77,8 +77,13 @@ def test_forward_and_stats_parity(scan):
     np.testing.assert_allclose(p0_k, p0_x, atol=5e-6)
     np.testing.assert_allclose(lv_k, lv_x, atol=5e-6)
 
-    # kernel batch stats -> flax running stats: ra = 0.9*init + 0.1*batch
-    # (init mean 0, var 1)
+    # kernel batch stats -> torch running stats: ra = 0.9*init + 0.1*batch
+    # (init mean 0, var 1), with the running VAR blending the
+    # Bessel-corrected batch variance (TorchBatchNorm: x n/(n-1); the
+    # kernel emits raw biased stats): conditioner BNs reduce over
+    # (B, N), film BNs over B
+    bes_sd = (B * N) / (B * N - 1)
+    bes_film = B / (B - 1)
     bs = mut
     if scan:
         bs = jax.vmap(
@@ -94,21 +99,21 @@ def test_forward_and_stats_parity(scan):
                 0.1 * stats[:, c, 0, sl], cp[head]["sd0_bn"]["mean"],
                 atol=1e-6)
             np.testing.assert_allclose(
-                0.9 + 0.1 * stats[:, c, 1, sl], cp[head]["sd0_bn"]["var"],
-                atol=1e-6)
+                0.9 + 0.1 * bes_sd * stats[:, c, 1, sl],
+                cp[head]["sd0_bn"]["var"], atol=1e-6)
             np.testing.assert_allclose(
                 0.1 * stats[:, c, 2, sl], cp[head]["sd1_bn"]["mean"],
                 atol=1e-6)
             np.testing.assert_allclose(
-                0.9 + 0.1 * stats[:, c, 3, sl], cp[head]["sd1_bn"]["var"],
-                atol=1e-6)
+                0.9 + 0.1 * bes_sd * stats[:, c, 3, sl],
+                cp[head]["sd1_bn"]["var"], atol=1e-6)
             for ni, net in enumerate(("cond_w", "cond_b")):
                 fs = cp[head][net]["film0_bn"]
                 np.testing.assert_allclose(
                     0.1 * fmean[:, c, 2 * hi + ni], fs["mean"], atol=1e-6)
                 np.testing.assert_allclose(
-                    0.9 + 0.1 * fvar[:, c, 2 * hi + ni], fs["var"],
-                    atol=1e-6)
+                    0.9 + 0.1 * bes_film * fvar[:, c, 2 * hi + ni],
+                    fs["var"], atol=1e-6)
 
 
 @pytest.mark.parametrize("mode,atol", [("high", 2e-3), ("fast", 5e-2)])

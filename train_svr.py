@@ -124,6 +124,7 @@ def main():
         train_dataset, batch_size=local_bs,
         shuffle=config.get("shuffle", True),
         num_workers=config.get("num_workers", 0),
+        worker_type=config.get("worker_type", "thread"),
         num_replicas=n_proc, rank=rank, seed=args.seed,
     )
     print(f"Size of training data: {len(train_dataset)}")
