@@ -60,8 +60,13 @@ def main():
         enable_compilation_cache,
         require_backend,
     )
+    from go_with_the_flows_tpu.parallel.mesh import distributed_init
 
     enable_compilation_cache()
+    # multi-host init MUST precede any backend-initializing call
+    # (jax.distributed.initialize raises after jax.devices() & co.)
+    if args.distributed and args.nodes > 1:
+        distributed_init(args.coordinator, args.nodes, args.nr)
     require_backend()
     # visibility against the silent-CPU-fallback trap: a flapping TPU
     # runtime can fail init and jax quietly selects the CPU backend —
@@ -73,9 +78,7 @@ def main():
     from go_with_the_flows_tpu.utils.config import (
         load_config, resolve_config, model_config_kwargs, count_params,
     )
-    from go_with_the_flows_tpu.parallel.mesh import (
-        make_mesh, shard_batch, distributed_init,
-    )
+    from go_with_the_flows_tpu.parallel.mesh import make_mesh, shard_batch
     from go_with_the_flows_tpu.data.datasets import ShapeNetCoreDataset
     from go_with_the_flows_tpu.data.cloud_transforms import (
         ComposeCloudTransformation,
@@ -91,9 +94,6 @@ def main():
     from go_with_the_flows_tpu.train.checkpoints import (
         restore_checkpoint, checkpoint_exists,
     )
-
-    if args.distributed and args.nodes > 1:
-        distributed_init(args.coordinator, args.nodes, args.nr)
 
     config = resolve_config(
         load_config(args.config),

@@ -45,7 +45,13 @@ def main():
         require_backend,
     )
 
+    from go_with_the_flows_tpu.parallel.mesh import distributed_init
+
     enable_compilation_cache()
+    # multi-host init MUST precede any backend-initializing call
+    # (jax.distributed.initialize raises after jax.devices() & co.)
+    if args.distributed and args.nodes > 1:
+        distributed_init(args.coordinator, args.nodes, args.nr)
     require_backend()
     print(f"jax backend: {jax.default_backend()} "
           f"({jax.device_count()} device(s))", flush=True)
@@ -53,9 +59,7 @@ def main():
     from go_with_the_flows_tpu.utils.config import (
         load_config, resolve_config, model_config_kwargs, count_params,
     )
-    from go_with_the_flows_tpu.parallel.mesh import (
-        make_mesh, distributed_init,
-    )
+    from go_with_the_flows_tpu.parallel.mesh import make_mesh
     from go_with_the_flows_tpu.data.datasets import ShapeNetAllDataset
     from go_with_the_flows_tpu.data.cloud_transforms import (
         ComposeCloudTransformation,
@@ -74,9 +78,6 @@ def main():
     from go_with_the_flows_tpu.train.checkpoints import (
         restore_checkpoint, checkpoint_exists,
     )
-
-    if args.distributed and args.nodes > 1:
-        distributed_init(args.coordinator, args.nodes, args.nr)
 
     config = resolve_config(
         load_config(args.config), modelname=args.modelname,
