@@ -141,11 +141,26 @@ def restore_checkpoint(
         from jax.experimental import multihost_utils
 
         host_template = _host_template(template)
+        err = None
+        payload = host_template
         if jax.process_index() == 0:
-            payload = _rank0_checkpointer().restore(path, host_template)
-            payload = jax.tree.map(np.asarray, payload)
-        else:
-            payload = host_template
+            try:
+                payload = _rank0_checkpointer().restore(path,
+                                                        host_template)
+                payload = jax.tree.map(np.asarray, payload)
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                err = e
+        # a rank-0 failure must fail EVERY rank loudly — raising on
+        # rank 0 alone would leave the others hanging in the broadcast
+        ok = multihost_utils.broadcast_one_to_all(
+            np.asarray(0 if err is not None else 1, np.int32)
+        )
+        if int(ok) == 0:
+            if err is not None:
+                raise err
+            raise FileNotFoundError(
+                f"rank 0 failed to restore checkpoint {path}"
+            )
         payload = multihost_utils.broadcast_one_to_all(payload)
     else:
         payload = _rank0_checkpointer().restore(path, template)

@@ -132,6 +132,16 @@ WORKER = textwrap.dedent("""
         loss2 = float(m2['loss'])
     assert np.isfinite(loss2)
     print('proc {{}} CKPT OK loss2={{:.6f}}'.format(pid, loss2))
+
+    # a rank-0 restore FAILURE (missing checkpoint) must raise on EVERY
+    # rank instead of hanging the others in the broadcast
+    try:
+        restore_checkpoint(data_dir, 'does_not_exist.ckpt', template)
+        missing = 'NO-ERROR'
+    except Exception as e:
+        missing = type(e).__name__
+    assert missing != 'NO-ERROR'
+    print('proc {{}} MISSING OK {{}}'.format(pid, missing))
 """).format(repo=REPO)
 
 
@@ -190,3 +200,6 @@ def test_two_process_distributed_training(tmp_path):
     ]
     assert ckpt_lines[0].split("loss2=")[1] == \
         ckpt_lines[1].split("loss2=")[1], ckpt_lines
+    # the missing-checkpoint restore raised on BOTH ranks (no hang)
+    for out in outputs:
+        assert "MISSING OK" in out, out[-2000:]
